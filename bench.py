@@ -1,0 +1,106 @@
+"""Benchmark: flagship-model inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.json north star): 10,000 depth frames/sec/chip at 128x128
+inference (NYU config: 14 joints, stages=2, features=128, level=4).
+
+Timing methodology: the remote-tunnel runtime used in this environment makes
+``block_until_ready`` unreliable (returns before execution) and adds ~seconds
+of fixed overhead to any device->host fetch. So the benchmark runs N model
+invocations *inside one jitted lax.scan* (each iteration's input perturbed so
+XLA cannot hoist the body), reduces to one scalar, and subtracts a scan
+length-1 baseline measured the same way:
+
+    per_iter = (T(scan N) - T(scan 1)) / (N - 1)
+
+which cancels upload, dispatch and fetch overheads.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--repeat", type=int, default=3)
+    parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
+    parser.add_argument("--decoder", type=str, default="pallas", choices=["xla", "pallas"])
+    parser.add_argument("--joints", type=int, default=14)
+    parser.add_argument("--stages", type=int, default=2)
+    parser.add_argument("--features", type=int, default=128)
+    parser.add_argument("--level", type=int, default=4)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pixelwiseregression_tpu.models import PixelwiseRegression
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    decoder = args.decoder
+    if jax.devices()[0].platform == "cpu" and decoder == "pallas":
+        decoder = "xla"  # pallas TPU kernels only interpret on CPU (slow)
+
+    model = PixelwiseRegression(
+        joints=args.joints, stage=args.stages, label_size=64,
+        features=args.features, level=args.level,
+        norm_method="instance", heatmap_method="softmax",
+        decoder=decoder, dtype=dtype,
+    )
+    b = args.batch_size
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(b, 128, 128, 1), jnp.float32)
+    label = jnp.asarray(rng.rand(b, 64, 64, 1), jnp.float32)
+    mask = jnp.asarray((rng.rand(b, 64, 64, 1) > 0.3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img[:1], label[:1], mask[:1], train=False)
+
+    def make_scan(n):
+        @jax.jit
+        def run(variables, img, label, mask):
+            def body(acc, i):
+                # per-iteration input perturbation: the body cannot be hoisted
+                out = model.apply(
+                    variables,
+                    img + i.astype(jnp.float32) * 1e-6,
+                    label, mask, train=False,
+                )[-1][2]
+                return acc + jnp.sum(out.astype(jnp.float32)), None
+            acc, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+            return acc
+        return run
+
+    run_n = make_scan(args.iters)
+    run_1 = make_scan(1)
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        v = float(fn(variables, img, label, mask))  # scalar fetch = sync
+        return time.perf_counter() - t0, v
+
+    timed(run_1)  # compile
+    timed(run_n)  # compile
+
+    per_iter = []
+    for _ in range(args.repeat):
+        t1, _ = timed(run_1)
+        tn, _ = timed(run_n)
+        per_iter.append((tn - t1) / (args.iters - 1))
+    dt = min(per_iter)
+
+    fps = b / dt
+    print(json.dumps({
+        "metric": "inference_throughput_128x128",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 10000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

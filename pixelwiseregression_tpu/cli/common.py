@@ -1,0 +1,140 @@
+"""Shared CLI plumbing: reference-compatible argparse surfaces.
+
+Flag names/defaults mirror the reference scripts exactly
+(reference: train.py:14-62, test.py:13-37) so existing invocations keep
+working; TPU-specific additions are clearly grouped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def _bool01(x: str) -> bool:
+    return [False, True][int(x)]
+
+
+def add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--label_size", type=int, default=64)
+    p.add_argument("--kernel_size", type=int, default=7)
+    p.add_argument("--sigmoid", type=float, default=1.5)
+    p.add_argument("--norm_method", type=str, default="instance", help="choose from batch and instance")
+    p.add_argument("--stages", type=int, default=2)
+    p.add_argument("--features", type=int, default=128)
+    p.add_argument("--level", type=int, default=4)
+
+
+def add_tpu_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("tpu")
+    g.add_argument("--decoder", type=str, default="pallas", choices=["xla", "pallas"],
+                   help="soft-argmax decoder implementation")
+    g.add_argument("--data_path", type=str, default=None,
+                   help="dataset root (default Data/<dataset>)")
+    g.add_argument("--no_strict_quirks", action="store_true",
+                   help="fix reference quirks (honor --using_rotation, working flip)")
+    g.add_argument("--bf16", action="store_true",
+                   help="bfloat16 activations (TPU mixed precision)")
+    g.add_argument("--matmul_precision", type=str, default=None,
+                   choices=["default", "high", "highest"],
+                   help="XLA matmul precision (use 'highest' for checkpoint parity)")
+
+
+def make_train_parser(dataset_default: str = "NYU", suffix_default: str = "default",
+                      msra: bool = False, fullregression: bool = False):
+    p = argparse.ArgumentParser()
+    p.add_argument("--suffix", type=str, default=suffix_default,
+                   help="the suffix of model file and log file")
+    if msra:
+        p.add_argument("--subject", type=int, default=0)
+    else:
+        p.add_argument("--dataset", type=str, default=dataset_default,
+                       help="choose from MSRA, ICVL, NYU, HAND17")
+    p.add_argument("--seed", type=int, default=0,
+                   help="the random seed used in the training, 0 means do not use fix seed")
+    add_model_args(p)
+    if not fullregression:
+        p.add_argument("--heatmap_method", type=str, default="softmax",
+                       help="choose from softmax and sum")
+        p.add_argument("--lambda_h", type=float, default=1.0)
+        p.add_argument("--lambda_d", type=float, default=0.01)
+        p.add_argument("--alpha", type=float, default=1.0)
+        p.add_argument("--filter_size", type=int, default=3)
+    p.add_argument("--using_rotation", type=_bool01, default=True)
+    p.add_argument("--using_scale", type=_bool01, default=True)
+    p.add_argument("--using_shift", type=_bool01, default=True)
+    p.add_argument("--using_flip", type=_bool01, default=False)
+    if not msra:
+        p.add_argument("--small", action="store_true")
+    p.add_argument("--gpu_id", type=str, default="0",
+                   help="kept for reference-CLI compatibility; ignored on TPU")
+    p.add_argument("--epoch", type=int, default=50)
+    p.add_argument("--num_workers", type=int, default=9999)
+    p.add_argument("--opt", type=str, default="adam", help="choose from adam and sgd")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.999)
+    p.add_argument("--weight_decay", type=float, default=0)
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="mixed precision training (bf16 activations on TPU)")
+    p.add_argument("--lr_decay", type=float, default=0.2)
+    p.add_argument("--decay_epoch", type=float, default=15)
+    add_tpu_args(p)
+    return p
+
+
+def make_test_parser(dataset_default: str = "MSRA", msra: bool = False,
+                     fullregression: bool = False):
+    p = argparse.ArgumentParser()
+    p.add_argument("--suffix", type=str, default="default" if not fullregression else "full_regression",
+                   help="the suffix of model file and log file")
+    if msra:
+        p.add_argument("--subject", type=int, default=0)
+    else:
+        p.add_argument("--dataset", type=str, default=dataset_default,
+                       help="choose from MSRA, ICVL, NYU, HAND17")
+    add_model_args(p)
+    if not fullregression:
+        p.add_argument("--heatmap_method", type=str, default="softmax",
+                       help="choose from softmax and sum")
+        p.add_argument("--filter_size", type=int, default=3)
+    if not msra and not fullregression:
+        p.add_argument("--process_mode", type=str, default="uvd", help="choose from uvd and bb")
+    p.add_argument("--gpu_id", type=str, default="0")
+    p.add_argument("--num_workers", type=int, default=9999)
+    p.add_argument("--seed", type=str, default="final")
+    add_tpu_args(p)
+    return p
+
+
+def resolve_num_workers(n: int) -> int:
+    return min(n, os.cpu_count() or 1)
+
+
+def apply_tpu_flags(args):
+    import jax
+
+    if getattr(args, "matmul_precision", None):
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+
+
+def model_kwargs_from_args(args, joints: int, fullregression: bool = False):
+    import jax.numpy as jnp
+
+    kw = dict(
+        joints=joints,
+        stage=args.stages,
+        label_size=args.label_size,
+        features=args.features,
+        level=args.level,
+        norm_method=args.norm_method,
+        dtype=jnp.bfloat16 if (getattr(args, "bf16", False) or getattr(args, "mixed_precision", False)) else jnp.float32,
+    )
+    if not fullregression:
+        kw.update(
+            kernel_size=args.filter_size,
+            heatmap_method=args.heatmap_method,
+            decoder=args.decoder,
+        )
+    return kw

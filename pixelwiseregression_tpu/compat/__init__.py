@@ -1,0 +1,6 @@
+from pixelwiseregression_tpu.compat.torch_ckpt import (
+    convert_state_dict,
+    load_torch_checkpoint,
+)
+
+__all__ = ["convert_state_dict", "load_torch_checkpoint"]

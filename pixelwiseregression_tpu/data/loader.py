@@ -1,0 +1,96 @@
+"""Host-side batching/prefetching loader.
+
+Replaces the reference's torch DataLoader worker pool (reference:
+train.py:94-108). Much less machinery is needed because the heavy per-sample
+work (crop/resize/label synthesis) moved on-device: the host only decodes
+raw frames and stacks fixed-size arrays. A thread pool decodes samples while
+the accelerator crunches the previous batch (PNG/zlib decoding releases the
+GIL), and up to ``prefetch`` ready batches are buffered.
+
+Fixed shapes for TPU: with ``drop_last=False`` the final partial batch is
+padded by repeating its last sample and a ``count`` field carries the number
+of real samples (instead of the reference's dynamically-sized last batch).
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from pixelwiseregression_tpu.data.sources import HandSource
+
+
+def stack_records(records: List[Dict[str, np.ndarray]], pad_to: Optional[int] = None):
+    """Stack per-sample host records into a batch; optionally pad by
+    repeating the final record. Returns (batch, count)."""
+    count = len(records)
+    if pad_to is not None and count < pad_to:
+        records = records + [records[-1]] * (pad_to - count)
+    keys = records[0].keys()
+    return {k: np.stack([r[k] for r in records]) for k in keys}, count
+
+
+class Loader:
+    def __init__(
+        self,
+        source: HandSource,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 8,
+        seed: int = 0,
+        lines: Optional[List[str]] = None,
+    ):
+        self.source = source
+        self.lines = list(lines if lines is not None else source.lines)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self._rng = random.Random(seed)
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.lines)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def num_samples(self) -> int:
+        return len(self.lines)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = list(range(len(self.lines)))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+
+        bs = self.batch_size
+        batches = [order[i : i + bs] for i in range(0, len(order), bs)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == bs]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=4)
+        sentinel = object()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for idxs in batches:
+                    recs = list(pool.map(lambda i: self.source.record(self.lines[i]), idxs))
+                    batch, count = stack_records(recs, pad_to=bs)
+                    batch["count"] = np.int32(count)
+                    out_q.put(batch)
+            out_q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            yield item

@@ -1,0 +1,122 @@
+"""Shared building blocks: torch-compatible Conv, InstanceNorm, norm factory.
+
+Numerics are kept compatible with the reference's torch modules so released
+``.pt`` checkpoints can be loaded bit-faithfully (conv padding = explicit
+``k//2`` on both sides — torch semantics, *not* XLA 'SAME' — and
+InstanceNorm2d with eps=1e-5, biased variance, affine).
+
+Layout is NHWC throughout (TPU-native); the torch->flax converter transposes
+conv kernels OIHW -> HWIO.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# torch nn.init.xavier_normal_: std = sqrt(2 / (fan_in + fan_out)), plain
+# normal (not truncated) — reference utils.py:339-342 applies it to every
+# Conv2d weight.
+xavier_normal = jax.nn.initializers.variance_scaling(1.0, "fan_avg", "normal")
+
+
+def _torch_conv_bias_init(fan_in: int):
+    """torch Conv2d default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv(nn.Module):
+    """2-D conv with torch-style explicit padding and init."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        pad = k // 2
+        fan_in = x.shape[-1] * k * k
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(k, k),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            kernel_init=xavier_normal,
+            bias_init=_torch_conv_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+class InstanceNorm(nn.Module):
+    """torch InstanceNorm2d(affine=True): per-sample per-channel over H, W.
+
+    Stateless (no running stats — torch default track_running_stats=False),
+    eps=1e-5, biased variance. Statistics are computed in float32 regardless
+    of activation dtype.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+def make_norm(method: str, dtype: Any = jnp.float32) -> Callable[..., nn.Module]:
+    """Factory matching the reference's norm selection (model.py:157-160)."""
+    if method == "instance":
+        return functools.partial(InstanceNorm, dtype=dtype)
+    if method == "batch":
+        return functools.partial(
+            nn.BatchNorm,
+            epsilon=1e-5,
+            momentum=0.9,  # torch momentum 0.1 == flax momentum 0.9
+            dtype=dtype,
+            param_dtype=jnp.float32,
+        )
+    raise ValueError(f"unknown norm method: {method}")
+
+
+def apply_norm(norm_mod: nn.Module, x, train: bool):
+    """Apply a norm module, threading the train flag for BatchNorm."""
+    if isinstance(norm_mod, nn.BatchNorm):
+        return norm_mod(x, use_running_average=not train)
+    return norm_mod(x)
+
+
+def max_pool_2x2(x):
+    """torch MaxPool2d(2, stride=2) on NHWC."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def upsample_nearest_2x(x):
+    """torch F.interpolate(mode='nearest') for an exact 2x upsample
+    (reference: model.py:45 — hourglass sizes are exact powers of two)."""
+    b, h, w, c = x.shape
+    x = jnp.repeat(x, 2, axis=1)
+    x = jnp.repeat(x, 2, axis=2)
+    return x

@@ -1,0 +1,228 @@
+"""PixelwiseRegression — stacked-hourglass network with soft-argmax decoding.
+
+TPU-native re-design of the reference model (reference: model.py:6-210):
+same computation graph (so released checkpoints convert 1:1) but NHWC layout,
+float32 params with an optional bf16 activation policy, and the differentiable
+decoder factored out so it can run either as plain XLA or as the fused Pallas
+reduction kernel.
+
+Structure (reference line refs):
+  ResBlock            model.py:6-23    pre-activation bottleneck residual
+  Hourglass           model.py:25-47   recursive encoder/decoder, +skip
+  PlaneRegression     model.py:49-97   4-conv head -> heatmap logits
+  DepthRegression     model.py:99-132  4-conv head -> depth residual maps
+  PredictionBlock     model.py:134-151 1x1 proj -> hourglass -> two heads
+  PixelwiseRegression model.py:153-210 stem + chained stages (concat 2J+1)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from pixelwiseregression_tpu.models.layers import (
+    Conv,
+    apply_norm,
+    make_norm,
+    max_pool_2x2,
+    upsample_nearest_2x,
+)
+from pixelwiseregression_tpu.ops.softargmax import soft_argmax_decode
+
+
+class ResBlock(nn.Module):
+    features: int
+    kernel_size: int = 3
+    norm_method: str = "instance"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = make_norm(self.norm_method, self.dtype)
+        f = self.features
+        h = apply_norm(norm(name="norm_0"), x, train)
+        h = nn.relu(h)
+        h = Conv(f // 2, 1, dtype=self.dtype, name="conv_0")(h)
+        h = apply_norm(norm(name="norm_1"), h, train)
+        h = nn.relu(h)
+        h = Conv(f // 2, self.kernel_size, dtype=self.dtype, name="conv_1")(h)
+        h = apply_norm(norm(name="norm_2"), h, train)
+        h = nn.relu(h)
+        h = Conv(f, 1, dtype=self.dtype, name="conv_2")(h)
+        return x + h
+
+
+class Hourglass(nn.Module):
+    features: int
+    level: int = 4
+    kernel_size: int = 3
+    norm_method: str = "instance"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            norm_method=self.norm_method,
+            dtype=self.dtype,
+        )
+        x = ResBlock(**kw, name="input_conv")(x, train)
+        h = max_pool_2x2(x)
+        if self.level > 0:
+            h = Hourglass(level=self.level - 1, **kw, name="inner")(h, train)
+        else:
+            h = ResBlock(**kw, name="inner")(h, train)
+        h = ResBlock(**kw, name="output_conv")(h, train)
+        h = upsample_nearest_2x(h)
+        return h + x
+
+
+class _Head(nn.Module):
+    """Shared 4-conv head used by both regression branches
+    (reference: model.py:54-65 and model.py:103-114)."""
+
+    features: int
+    out_features: int
+    kernel_size: int = 3
+    norm_method: str = "instance"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = make_norm(self.norm_method, self.dtype)
+        for i in range(3):
+            x = Conv(self.features, self.kernel_size, dtype=self.dtype, name=f"conv_{i}")(x)
+            x = apply_norm(norm(name=f"norm_{i}"), x, train)
+            x = nn.relu(x)
+        return Conv(self.out_features, self.kernel_size, dtype=self.dtype, name="conv_3")(x)
+
+
+class PredictionBlock(nn.Module):
+    joints: int
+    label_size: int = 64
+    features: int = 256
+    level: int = 4
+    kernel_size: int = 3
+    norm_method: str = "instance"
+    heatmap_method: str = "softmax"
+    decoder: str = "xla"  # 'xla' | 'pallas'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, label_img, mask, train: bool = False):
+        f = Conv(self.features, 1, dtype=self.dtype, name="proj")(x)
+        # NOTE: the reference hourglass always uses its default kernel_size=3
+        # (model.py:139 passes no kernel_size), independent of --filter_size.
+        f = Hourglass(
+            features=self.features,
+            level=self.level,
+            kernel_size=3,
+            norm_method=self.norm_method,
+            dtype=self.dtype,
+            name="hourglass",
+        )(f, train)
+
+        logits = _Head(
+            self.features,
+            self.joints,
+            self.kernel_size,
+            self.norm_method,
+            self.dtype,
+            name="plane",
+        )(f, train)
+        depthmaps = _Head(
+            self.features,
+            self.joints,
+            self.kernel_size,
+            self.norm_method,
+            self.dtype,
+            name="depth",
+        )(f, train)
+
+        if self.heatmap_method == "softmax":
+            w = self.param("w", nn.initializers.ones, (self.joints, 1), jnp.float32)
+            w = w[:, 0]
+        else:
+            w = None
+
+        if self.decoder == "pallas":
+            from pixelwiseregression_tpu.ops.pallas_softargmax import (
+                soft_argmax_decode_pallas,
+            )
+
+            heatmaps, uvd = soft_argmax_decode_pallas(
+                logits, depthmaps, label_img, mask, w, self.heatmap_method
+            )
+        else:
+            heatmaps, uvd = soft_argmax_decode(
+                logits, depthmaps, label_img, mask, w, self.heatmap_method
+            )
+        return heatmaps, depthmaps, uvd
+
+
+class PixelwiseRegression(nn.Module):
+    """Flagship model. Returns a list of per-stage (heatmaps, depthmaps, uvd).
+
+    Maps are NHWC: img ``[B, 2S, 2S, 1]``, label_img/mask ``[B, S, S, 1]``,
+    heatmaps/depthmaps ``[B, S, S, J]``, uvd ``[B, J, 3]``.
+    """
+
+    joints: int
+    stage: int = 2
+    label_size: int = 64
+    features: int = 256
+    level: int = 4
+    kernel_size: int = 3
+    norm_method: str = "instance"
+    heatmap_method: str = "softmax"
+    decoder: str = "xla"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, label_img, mask, train: bool = False):
+        norm = make_norm(self.norm_method, self.dtype)
+        x = img.astype(self.dtype)
+        label_img = label_img.astype(self.dtype)
+        mask_c = mask.astype(self.dtype)
+
+        # Stem: 1->32, feature-doubling 3x3 convs up to `features`, then a
+        # stride-2 conv halving spatial size (reference: model.py:164-187).
+        widths = [32]
+        while widths[-1] < self.features:
+            widths.append(min(2 * widths[-1], self.features))
+        i = 0
+        for w_ in widths:
+            x = Conv(w_, self.kernel_size, dtype=self.dtype, name=f"stem_conv_{i}")(x)
+            x = apply_norm(norm(name=f"stem_norm_{i}"), x, train)
+            x = nn.relu(x)
+            i += 1
+        x = Conv(self.features, self.kernel_size, stride=2, dtype=self.dtype, name=f"stem_conv_{i}")(x)
+        x = apply_norm(norm(name=f"stem_norm_{i}"), x, train)
+        x = nn.relu(x)
+
+        results = []
+        f = x
+        for s in range(self.stage):
+            heatmaps, depthmaps, uvd = PredictionBlock(
+                joints=self.joints,
+                label_size=self.label_size,
+                features=self.features,
+                level=self.level,
+                kernel_size=self.kernel_size,
+                norm_method=self.norm_method,
+                heatmap_method=self.heatmap_method,
+                decoder=self.decoder,
+                dtype=self.dtype,
+                name=f"stage_{s}",
+            )(f, label_img, mask_c, train)
+            results.append((heatmaps, depthmaps, uvd))
+            # Next-stage input: concat(heatmaps, depthmaps, label_img) along
+            # channels -> 2J+1 (reference: model.py:190-193, 208).
+            f = jnp.concatenate(
+                [heatmaps.astype(self.dtype), depthmaps.astype(self.dtype), label_img],
+                axis=-1,
+            )
+        return results
