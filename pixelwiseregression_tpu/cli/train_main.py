@@ -123,6 +123,23 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
         jnp.zeros((n_dev, args.label_size, args.label_size, 1)),
     )
     state = create_train_state(model, jax.random.PRNGKey(seed), sample_inputs, tx)
+
+    # resume: restore params/opt_state/step (improvement over the reference,
+    # which never saves optimizer state — SURVEY.md §5)
+    if getattr(args, "resume", None):
+        from pixelwiseregression_tpu.train.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(
+            args.resume, params_template=state.params, opt_state_template=state.opt_state
+        )
+        state = state.replace(
+            params=ckpt["params"],
+            batch_stats=ckpt["batch_stats"] or state.batch_stats,
+            opt_state=ckpt["opt_state"] if ckpt["opt_state"] is not None else state.opt_state,
+            step=jnp.asarray(ckpt["step"] or 0, jnp.int32),
+        )
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
     state = jax.device_put(state, rsh)
 
     loss_cfg = LossConfig(
@@ -146,10 +163,59 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
     model_param = dict(model_kw)
     model_param["dtype"] = str(model_param["dtype"].__name__)
 
+    # per-epoch image logging (reference: train.py:214-228) on one val batch
+    @jax.jit
+    def viz_forward(state, batch):
+        data = preprocess_for_viz(batch)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        results = state.apply_fn(variables, data["img"], data["label_img"], data["mask"], train=False)
+        return data, results
+
+    def preprocess_for_viz(batch):
+        from pixelwiseregression_tpu.data.preprocess import preprocess_batch
+
+        return preprocess_batch(batch, jax.random.PRNGKey(0), pp_val)
+
+    def log_images(epoch, state, batch):
+        try:
+            from pixelwiseregression_tpu.utils.viz import (
+                draw_features,
+                draw_skeleton_normalized,
+            )
+
+            data, results = viz_forward(state, batch)
+            img0 = np.asarray(data["img"][0, :, :, 0])
+            writer.add_image(
+                "input_image",
+                np.asarray(data["img"][0]).transpose(2, 0, 1) / max(float(np.abs(img0).max()), 1e-6),
+                epoch,
+            )
+            if not fullregression:
+                writer.add_figure("input_heatmap", draw_features(np.asarray(data["heatmaps"][0])), epoch)
+                writer.add_figure("input_depthmap", draw_features(np.asarray(data["dmaps"][0])), epoch)
+            skel = draw_skeleton_normalized(img0, np.asarray(data["uvd"][0]), trainset.config)
+            writer.add_image("input_skeleton", skel.transpose(2, 0, 1), epoch)
+            for i, result in enumerate(results):
+                if fullregression:
+                    uvd = result
+                else:
+                    hm, dm, uvd = result
+                    writer.add_figure(f"stage{i}_heatmap", draw_features(np.asarray(hm[0])), epoch)
+                    writer.add_figure(f"stage{i}_depthmap", draw_features(np.asarray(dm[0])), epoch)
+                skel = draw_skeleton_normalized(img0, np.asarray(uvd[0]), trainset.config)
+                writer.add_image(f"stage{i}_skeleton", skel.transpose(2, 0, 1), epoch)
+        except Exception as e:  # viz must never kill a training run
+            print(f"image logging failed: {e}")
+
     best_epoch, best_error = 0, float("inf")
     rng = jax.random.PRNGKey(seed)
     step_count = 0
     t0 = time.time()
+    viz_batch = None
+
+    profile_dir = getattr(args, "profile", None)
 
     for epoch in range(args.epoch):
         # ---- train ----
@@ -157,7 +223,16 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
             batch.pop("count", None)
             batch = {k: jax.device_put(v, bsh if np.ndim(v) else rsh) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
+            if profile_dir is not None and step_count == 3:
+                jax.profiler.start_trace(profile_dir)
             state, metrics = train_step(state, batch, sub)
+            if profile_dir is not None and step_count == 6:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics
+                )
+                jax.profiler.stop_trace()
+                print(f"profile trace written to {profile_dir}")
+                profile_dir = None
             step_count += 1
         train_loss = float(metrics["loss"])
         stage_l = np.asarray(metrics["stage_losses"])
@@ -166,6 +241,8 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
         val_losses, val_errs, n_total = None, None, 0
         for batch in val_loader:
             count = int(batch.pop("count"))
+            if viz_batch is None:
+                viz_batch = {k: np.asarray(v) for k, v in batch.items() if np.ndim(v)}
             batch = {k: jax.device_put(v, bsh if np.ndim(v) else rsh) for k, v in batch.items()}
             m = eval_step(state, batch)
             errs = np.asarray(m["per_sample_err_mm"])[:, :count]  # [stages, count]
@@ -189,6 +266,9 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
             f"val mean-mm {np.array2string(val_errs, precision=3)}  "
             f"({fps:.0f} samples/s)"
         )
+
+        if viz_batch is not None:
+            log_images(epoch, state, viz_batch)
 
         # ---- tensorboard scalars (reference: train.py:294-311) ----
         n_stages = stage_l.shape[0]

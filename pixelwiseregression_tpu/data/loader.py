@@ -78,10 +78,18 @@ class Loader:
         out_q: "queue.Queue" = queue.Queue(maxsize=4)
         sentinel = object()
 
+        batch_fn = getattr(self.source, "batch_records", None)
+
         def produce():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for idxs in batches:
-                    recs = list(pool.map(lambda i: self.source.record(self.lines[i]), idxs))
+                    if batch_fn is not None:
+                        # native (GIL-free, internally threaded) batch decode
+                        recs = batch_fn([self.lines[i] for i in idxs])
+                    else:
+                        recs = list(
+                            pool.map(lambda i: self.source.record(self.lines[i]), idxs)
+                        )
                     batch, count = stack_records(recs, pad_to=bs)
                     batch["count"] = np.int32(count)
                     out_q.put(batch)

@@ -413,6 +413,30 @@ class MSRASource(HandSource):
         com = center_of_mass_fallback(frame)
         return frame, joint_uvd, com, self.cube_size, None
 
+    def batch_records(self, lines: List[str]) -> List[Dict[str, np.ndarray]]:
+        """Batch fast path: GIL-free native decode of .bin tiles + COM
+        (pixelwiseregression_tpu.native), numpy fallback otherwise."""
+        from pixelwiseregression_tpu import native
+
+        if not native.available():
+            return [self.record(l) for l in lines]
+        paths, joints = [], []
+        for line in lines:
+            path, joint_xyz = decode_line(line)
+            paths.append(path)
+            joints.append(self.camera.xyz2uvd(joint_xyz))
+        frames, coms, status = native.msra_decode_batch(
+            paths, self.spec.frame_h, self.spec.frame_w
+        )
+        out = []
+        for i, line in enumerate(lines):
+            if status[i] != 0:
+                raise ValueError(f"failed to decode {paths[i]}")
+            out.append(
+                make_record(self.spec, frames[i], joints[i], coms[i], self.cube_size, None)
+            )
+        return out
+
 
 class ICVLSource(HandSource):
     SPEC = ICVL_SPEC

@@ -79,10 +79,19 @@ class InstanceNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         x32 = x.astype(jnp.float32)
+        # one-pass stats: E[x] and E[x^2] come out of a single read of the
+        # activation (XLA fuses both reductions); var = E[x^2] - E[x]^2 is
+        # accurate enough in f32 for O(1)-scale activations and saves a full
+        # HBM pass per norm vs. the two-pass (x - mean)^2 form — this model
+        # is bandwidth-bound, with ~40 norms on the default config.
         mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale + bias
+        mean_sq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        # fold the affine into one multiply-add: y = x * (inv*scale) + (bias - mean*inv*scale)
+        a = inv * scale
+        b = bias - mean * a
+        y = x32 * a + b
         return y.astype(self.dtype)
 
 

@@ -176,3 +176,100 @@ def test_icvl_build_and_load(tmp_path):
     np.testing.assert_allclose(com, [160.0, 120.0, 400.0])
     assert bbox[0] >= 0 and bbox[2] <= 320
     np.testing.assert_allclose(joint_uvd, joints, rtol=1e-6)
+
+
+def test_nyu_build_and_load(tmp_path):
+    from scipy.io import savemat
+    from pixelwiseregression_tpu.data.sources import NYU_JOINT_INDEX
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    os.makedirs(os.path.join(root, "test"), exist_ok=True)
+
+    n_train, n_test = 3, 2
+    uvd_train = RNG.rand(3, n_train, 36, 3) * 50 + np.array([300, 220, 700])
+    uvd_test = RNG.rand(1, n_test, 36, 3) * 50 + np.array([300, 220, 700])
+    savemat(os.path.join(root, "train", "joint_data.mat"), {"joint_uvd": uvd_train})
+    savemat(os.path.join(root, "test", "joint_data.mat"), {"joint_uvd": uvd_test})
+
+    depth = np.zeros((480, 640), np.uint16)
+    depth[180:280, 260:360] = (RNG.rand(100, 100) * 100 + 650).astype(np.uint16)
+    rgb = np.zeros((480, 640, 3), np.uint8)
+    rgb[:, :, 1] = (depth // 256).astype(np.uint8)
+    rgb[:, :, 2] = (depth % 256).astype(np.uint8)
+    for split, n in (("train", n_train), ("test", n_test)):
+        for i in range(n):
+            Image.fromarray(rgb).save(os.path.join(root, split, f"depth_1_{i+1:07d}.png"))
+
+    centers = np.tile([310.0, 230.0, 700.0], (max(n_train, n_test) + 2500, 1))
+    np.savetxt(os.path.join(root, "nyu_center_train.txt"), centers)
+    np.savetxt(os.path.join(root, "nyu_center_test.txt"), centers)
+
+    src = NYUSource(root, dataset="test", test_only=True)
+    assert len(src.lines) == n_test
+    with open(os.path.join(root, "train.txt")) as f:
+        assert len([l for l in f.read().splitlines() if l.strip()]) == n_train
+    # val = checked test set (reference: datasets.py:759-793)
+    with open(os.path.join(root, "val.txt")) as f:
+        assert len([l for l in f.read().splitlines() if l.strip()]) == n_test
+
+    frame, joint_uvd, com, cube, bbox = src.load_raw(src.lines[0])
+    assert frame.shape == (480, 640)
+    assert joint_uvd.shape == (14, 3)
+    np.testing.assert_allclose(joint_uvd, uvd_test[0, 0][NYU_JOINT_INDEX], rtol=1e-6)
+    assert cube == 150.0  # index 0 <= 2440: no shrink
+
+
+def test_nyu_cube_shrink_past_2440(tmp_path):
+    """test index > 2440 shrinks the cube to int(150*5/6)=125
+    (reference: datasets.py:818-819)."""
+    root = str(tmp_path)
+    centers = np.tile([310.0, 230.0, 700.0], (3000, 1))
+    np.savetxt(os.path.join(root, "nyu_center_train.txt"), centers)
+    np.savetxt(os.path.join(root, "nyu_center_test.txt"), centers)
+    os.makedirs(os.path.join(root, "test"), exist_ok=True)
+
+    depth = np.full((480, 640), 700, np.uint16)
+    rgb = np.zeros((480, 640, 3), np.uint8)
+    rgb[:, :, 1] = (depth // 256).astype(np.uint8)
+    rgb[:, :, 2] = (depth % 256).astype(np.uint8)
+    Image.fromarray(rgb).save(os.path.join(root, "test", "depth_1_0002500.png"))
+
+    src = NYUSource.__new__(NYUSource)
+    src.spec = src.SPEC = NYUSource.SPEC
+    src.path = root
+    src.dataset = "test"
+    src.cube_size = 150.0
+    src.camera = NYUSource.SPEC.camera
+    src.test_centers = centers
+    src.train_centers = centers
+    joints = " ".join(["1.0"] * 42)
+    line = os.path.join(root, "test", "depth_1_0002500.png") + " " + joints
+    frame, joint_uvd, com, cube, bbox = src.load_raw(line)
+    assert cube == 125
+
+
+def test_hand17_bb_mode(tmp_path):
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "frame", "images"), exist_ok=True)
+
+    depth = np.zeros((480, 640), np.uint16)
+    depth[200:280, 280:360] = 600        # hand
+    depth[205:215, 285:295] = 900        # background clutter inside bbox
+    _write_png16(os.path.join(root, "frame", "images", "image_D00000001.png"), depth)
+
+    src = HAND17Source.__new__(HAND17Source)
+    src.spec = src.SPEC = HAND17Source.SPEC
+    src.path = root
+    src.dataset = "test"
+    src.process_mode = "bb"
+    src.cube_size = 150.0
+    src.camera = HAND17Source.SPEC.camera
+
+    line = "image_D00000001.png 270 190 110 110"
+    frame, joints, com, cube, bbox = src._load_raw_bb(line)
+    # iterative mean-depth removal kills the 900mm clutter
+    assert frame.max() <= 600
+    assert (frame[200:280, 280:360] > 0).sum() > 1000
+    assert joints is None
+    assert 280 <= com[0] <= 360 and 200 <= com[1] <= 280
