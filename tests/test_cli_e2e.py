@@ -1,0 +1,64 @@
+"""End-to-end CLI round trip on the synthetic MSRA fixture: build ->
+train 1 epoch -> inference -> result file. Runs the same code paths as the
+train_msra.py / test_msra.py entry points (tiny model, CPU)."""
+
+import argparse
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def msra_fixture(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("msra"))
+    script = os.path.join(os.path.dirname(__file__), "fixtures", "make_msra_fixture.py")
+    subprocess.run([sys.executable, script, root], check=True, capture_output=True)
+    return root
+
+
+def _train_args(root):
+    return argparse.Namespace(
+        suffix="e2e", seed=1, batch_size=8, label_size=32, kernel_size=7,
+        sigmoid=1.5, norm_method="instance", heatmap_method="softmax",
+        stages=1, features=16, level=2, filter_size=3,
+        using_rotation=True, using_scale=True, using_shift=True, using_flip=False,
+        gpu_id="0", epoch=1, num_workers=2, opt="adam", lr=1e-3,
+        beta1=0.9, beta2=0.999, weight_decay=0.0, mixed_precision=False,
+        lambda_h=1.0, lambda_d=0.01, alpha=0.5, lr_decay=0.2, decay_epoch=15,
+        decoder="xla", data_path=root, no_strict_quirks=False, bf16=False,
+        matmul_precision=None, profile=None, resume=None, small=False,
+    )
+
+
+def _test_args(root):
+    return argparse.Namespace(
+        suffix="e2e", batch_size=8, label_size=32, kernel_size=7, sigmoid=1.5,
+        norm_method="instance", heatmap_method="softmax", stages=1,
+        features=16, level=2, filter_size=3, gpu_id="0", num_workers=2,
+        seed="final", decoder="xla", data_path=root, no_strict_quirks=False,
+        bf16=False, matmul_precision=None, profile=None, resume=None,
+    )
+
+
+def test_train_then_test_roundtrip(msra_fixture, tmp_path, monkeypatch):
+    from pixelwiseregression_tpu.cli.test_main import run_inference
+    from pixelwiseregression_tpu.cli.train_main import run_training
+
+    monkeypatch.chdir(tmp_path)  # Model/, Result/, logs/ land here
+    best_epoch, best_err = run_training(_train_args(msra_fixture), "MSRA", subject=0)
+    assert np.isfinite(best_err) and best_err > 0
+    assert os.path.exists("Model/MSRA_e2e_subject0_final.ckpt")
+
+    result_name, fps = run_inference(_test_args(msra_fixture), "MSRA", subject=0)
+    assert os.path.exists(result_name)
+    out = np.loadtxt(result_name)
+    assert out.shape == (4, 21 * 3)
+    assert np.isfinite(out).all()
+    # de-normalized uvd should land near the fixture's hand (u~160 v~120 d~400)
+    uvd = out.reshape(4, 21, 3)
+    assert 100 < np.median(uvd[:, :, 0]) < 220
+    assert 60 < np.median(uvd[:, :, 1]) < 180
+    assert 300 < np.median(uvd[:, :, 2]) < 500
