@@ -145,6 +145,7 @@ def warp_affine_inverse(
     img: jax.Array,
     minv: jax.Array,
     quantize: bool = False,
+    method: str = "dot",
 ) -> jax.Array:
     """cv2.warpAffine semantics with a dst->src matrix.
 
@@ -185,6 +186,25 @@ def warp_affine_inverse(
         iy = jnp.floor(sy).astype(jnp.int32)
         fx = sx - ix.astype(img.dtype)
         fy = sy - iy.astype(img.dtype)
+
+    if method == "dot":
+        # MXU formulation: bilinear tap weights are hat functions
+        # w(y) = max(0, 1 - |y - sy|), so the warp is exactly
+        #   out[i,j] = sum_y sum_x hat(y - sy[i,j]) * hat(x - sx[i,j]) * img[y,x]
+        # = one [S*S, H] x [H, W] matmul + a masked reduce over x. Zero-border
+        # falls out naturally (hats vanish beyond distance 1). This avoids
+        # general 2-D gathers, which are catastrophically slow on TPU (the
+        # 4-tap gather version measured 95 ms/step in training profiles).
+        sy_f = iy.astype(img.dtype) + fy
+        sx_f = ix.astype(img.dtype) + fx
+        yv = jnp.arange(h, dtype=img.dtype)
+        xv = jnp.arange(w, dtype=img.dtype)
+        haty = jnp.maximum(0.0, 1.0 - jnp.abs(yv[None, None, :] - sy_f[:, :, None]))
+        tmp = jnp.einsum(
+            "ijy,yx->ijx", haty, img, precision=jax.lax.Precision.HIGHEST
+        )
+        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(xv[None, None, :] - sx_f[:, :, None]))
+        return jnp.sum(tmp * hatx, axis=-1)
 
     def tap(yi, xi):
         ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
