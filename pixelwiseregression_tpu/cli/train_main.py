@@ -26,7 +26,7 @@ from pixelwiseregression_tpu.data.loader import Loader
 from pixelwiseregression_tpu.data.preprocess import PreprocessConfig
 from pixelwiseregression_tpu.data.sources import get_source
 from pixelwiseregression_tpu.models import FullRegression, PixelwiseRegression
-from pixelwiseregression_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from pixelwiseregression_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
 from pixelwiseregression_tpu.train.checkpoint import alias_final, save_checkpoint
 from pixelwiseregression_tpu.train.loop import (
     LossConfig,
@@ -91,10 +91,26 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
     )
 
     num_workers = resolve_num_workers(args.num_workers)
-    train_loader = Loader(trainset, args.batch_size, shuffle=True, drop_last=True,
-                          num_workers=num_workers, seed=seed)
-    val_loader = Loader(valset, args.batch_size, shuffle=False, drop_last=False,
-                        num_workers=num_workers)
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # multi-host: each process loads its interleaved slice of the index
+        # and per-host batches of batch_size // n_proc assemble into the
+        # global batch (parallel/mesh.py shard_batch)
+        from pixelwiseregression_tpu.parallel.mesh import process_local_lines
+
+        assert args.batch_size % n_proc == 0
+        local_bs = args.batch_size // n_proc
+        train_loader = Loader(trainset, local_bs, shuffle=True, drop_last=True,
+                              num_workers=num_workers, seed=seed,
+                              lines=process_local_lines(trainset.lines))
+        val_loader = Loader(valset, local_bs, shuffle=False, drop_last=False,
+                            num_workers=num_workers,
+                            lines=process_local_lines(valset.lines))
+    else:
+        train_loader = Loader(trainset, args.batch_size, shuffle=True, drop_last=True,
+                              num_workers=num_workers, seed=seed)
+        val_loader = Loader(valset, args.batch_size, shuffle=False, drop_last=False,
+                            num_workers=num_workers)
 
     mesh = make_mesh()
     bsh = batch_sharding(mesh)
@@ -221,7 +237,7 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
         # ---- train ----
         for batch in train_loader:
             batch.pop("count", None)
-            batch = {k: jax.device_put(v, bsh if np.ndim(v) else rsh) for k, v in batch.items()}
+            batch = shard_batch(batch, mesh)
             rng, sub = jax.random.split(rng)
             if profile_dir is not None and step_count == 3:
                 jax.profiler.start_trace(profile_dir)
@@ -243,7 +259,7 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
             count = int(batch.pop("count"))
             if viz_batch is None:
                 viz_batch = {k: np.asarray(v) for k, v in batch.items() if np.ndim(v)}
-            batch = {k: jax.device_put(v, bsh if np.ndim(v) else rsh) for k, v in batch.items()}
+            batch = shard_batch(batch, mesh)
             m = eval_step(state, batch)
             errs = np.asarray(m["per_sample_err_mm"])[:, :count]  # [stages, count]
             sl = np.asarray(m["stage_losses"])

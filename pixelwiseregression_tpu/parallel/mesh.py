@@ -38,6 +38,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch pytree with axis 0 sharded over 'data'."""
+    """Place a host batch pytree with axis 0 sharded over 'data'.
+
+    Single-process: a plain sharded device_put. Multi-host (pod slices, e.g.
+    v5e-32): each process passes its *local* shard of the global batch and
+    the global array is assembled via
+    ``jax.make_array_from_process_local_data`` — the standard multi-host
+    feeding pattern (each host only materializes its own samples).
+    """
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, x), batch
+    )
+
+
+def process_local_lines(lines, shuffle_order=None):
+    """Partition dataset index lines across hosts: process i takes every
+    process_count-th line (after an optional shared shuffle order), so the
+    global batch is the concatenation of per-host local batches."""
+    n = jax.process_count()
+    i = jax.process_index()
+    if shuffle_order is not None:
+        lines = [lines[k] for k in shuffle_order]
+    return lines[i::n]

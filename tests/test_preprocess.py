@@ -205,3 +205,39 @@ def test_flip_quirk_disables_augmentation():
     clean = preprocess_batch(batch, jax.random.PRNGKey(2), cfg)
     aug = preprocess_batch(batch, jax.random.PRNGKey(2), cfg, augment=True)
     np.testing.assert_allclose(np.asarray(aug["img"]), np.asarray(clean["img"]), atol=0)
+
+
+def test_no_strict_quirks_fixes_rotation_flag():
+    """With strict_quirks=False and using_rotation=False, no rotation is
+    applied even though other augmentations run (the reference would always
+    rotate — utils.py:72-73)."""
+    base = dict(fx=FX, fy=FY, halfu=HALFU, halfv=HALFV,
+                using_rotation=False, using_scale=False, using_shift=False)
+    cfg_fixed = PreprocessConfig(**base, using_flip=False, strict_quirks=False)
+    samples = [_synthetic_sample() for _ in range(2)]
+    batch = _host_batch(samples)
+    # no aug flags at all -> augmented call equals clean call
+    clean = preprocess_batch(batch, jax.random.PRNGKey(3), cfg_fixed)
+    aug = preprocess_batch(batch, jax.random.PRNGKey(3), cfg_fixed, augment=True)
+    np.testing.assert_allclose(np.asarray(aug["img"]), np.asarray(clean["img"]), atol=0)
+
+
+def test_no_strict_quirks_flip_works():
+    """strict_quirks=False + using_flip=True actually flips (fixing the
+    reference's dead flip path). With a fixed key, at least one sample in a
+    batch should flip and mirror its u coordinates."""
+    cfg = PreprocessConfig(fx=FX, fy=FY, halfu=HALFU, halfv=HALFV,
+                           using_flip=True, strict_quirks=False)
+    samples = [_synthetic_sample() for _ in range(8)]
+    batch = _host_batch(samples)
+    clean = preprocess_batch(batch, jax.random.PRNGKey(5), cfg)
+    aug = preprocess_batch(batch, jax.random.PRNGKey(5), cfg, augment=True)
+    assert bool(jnp.all(aug["valid"]))
+    diffs = np.asarray(jnp.sum(jnp.abs(aug["img"] - clean["img"]), axis=(1, 2, 3)))
+    flipped = diffs > 1e-3
+    assert flipped.any() and not flipped.all()  # ~50% flip probability
+    # flipped samples: u coordinates mirrored (uvd u sign negated)
+    u_clean = np.asarray(clean["uvd"][:, :, 0])
+    u_aug = np.asarray(aug["uvd"][:, :, 0])
+    i = int(np.argmax(flipped))
+    np.testing.assert_allclose(u_aug[i], -u_clean[i], rtol=1e-4, atol=1e-5)
