@@ -62,3 +62,30 @@ def test_train_then_test_roundtrip(msra_fixture, tmp_path, monkeypatch):
     assert 100 < np.median(uvd[:, :, 0]) < 220
     assert 60 < np.median(uvd[:, :, 1]) < 180
     assert 300 < np.median(uvd[:, :, 2]) < 500
+
+
+@pytest.fixture(scope="module")
+def icvl_fixture(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("icvl"))
+    script = os.path.join(os.path.dirname(__file__), "fixtures", "make_icvl_fixture.py")
+    subprocess.run([sys.executable, script, root], check=True, capture_output=True)
+    return root
+
+
+def test_icvl_generic_train_test_roundtrip(icvl_fixture, tmp_path, monkeypatch):
+    """Generic (non-MSRA) path: train.py/test.py equivalents on ICVL."""
+    from pixelwiseregression_tpu.cli.test_main import run_inference
+    from pixelwiseregression_tpu.cli.train_main import run_training
+
+    monkeypatch.chdir(tmp_path)
+    args = _train_args(icvl_fixture)
+    best_epoch, best_err = run_training(args, "ICVL")
+    assert np.isfinite(best_err)
+    assert os.path.exists("Model/ICVL_e2e_final.ckpt")
+
+    targs = _test_args(icvl_fixture)
+    targs.process_mode = "uvd"
+    result_name, fps = run_inference(targs, "ICVL")
+    out = np.loadtxt(result_name)
+    assert out.shape == (6, 16 * 3)
+    assert np.isfinite(out).all()
