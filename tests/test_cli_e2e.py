@@ -89,3 +89,38 @@ def test_icvl_generic_train_test_roundtrip(icvl_fixture, tmp_path, monkeypatch):
     out = np.loadtxt(result_name)
     assert out.shape == (6, 16 * 3)
     assert np.isfinite(out).all()
+
+
+@pytest.fixture(scope="module")
+def hand17_fixture(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("hand17"))
+    script = os.path.join(os.path.dirname(__file__), "fixtures", "make_hand17_fixture.py")
+    subprocess.run([sys.executable, script, root], check=True, capture_output=True)
+    return root
+
+
+def test_hand17_train_and_bb_inference(hand17_fixture, tmp_path, monkeypatch):
+    """HAND17: xyz->uvd training annotations, 95/5 split, and the 'bb'
+    test-time process mode + challenge submission format."""
+    from pixelwiseregression_tpu.cli.test_main import run_inference
+    from pixelwiseregression_tpu.cli.train_main import run_training
+
+    monkeypatch.chdir(tmp_path)
+    args = _train_args(hand17_fixture)
+    best_epoch, best_err = run_training(args, "HAND17")
+    assert np.isfinite(best_err)
+    # 95/5 split wrote both files
+    assert os.path.exists(os.path.join(hand17_fixture, "train.txt"))
+    assert os.path.exists(os.path.join(hand17_fixture, "val.txt"))
+
+    for mode in ("uvd", "bb"):
+        targs = _test_args(hand17_fixture)
+        targs.process_mode = mode
+        result_name, fps = run_inference(targs, "HAND17")
+        with open(result_name) as f:
+            lines = [l for l in f.read().splitlines() if l.strip()]
+        assert len(lines) == 4
+        # challenge submission format: frame\images\image_D%08d.png prefix
+        assert lines[0].startswith("frame\\images\\image_D00000001.png\t")
+        vals = np.array(lines[0].split("\t")[1:], float)
+        assert vals.shape == (63,) and np.isfinite(vals).all()
