@@ -124,3 +124,73 @@ def test_hand17_train_and_bb_inference(hand17_fixture, tmp_path, monkeypatch):
         assert lines[0].startswith("frame\\images\\image_D00000001.png\t")
         vals = np.array(lines[0].split("\t")[1:], float)
         assert vals.shape == (63,) and np.isfinite(vals).all()
+
+
+@pytest.fixture(scope="module")
+def nyu_fixture(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("nyu"))
+    import numpy as np
+    from PIL import Image
+    from scipy.io import savemat
+
+    rng = np.random.RandomState(0)
+    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    os.makedirs(os.path.join(root, "test"), exist_ok=True)
+
+    def write_split(split, n):
+        uvds = np.zeros((1, n, 36, 3))
+        centers = []
+        for i in range(n):
+            cu, cv, z = rng.uniform(250, 390), rng.uniform(180, 300), rng.uniform(650, 850)
+            frame = np.zeros((480, 640), np.float64)
+            yy, xx = np.mgrid[0:480, 0:640]
+            r2 = ((xx - cu) / 55.0) ** 2 + ((yy - cv) / 55.0) ** 2
+            frame[r2 < 1] = z + 50 * (r2[r2 < 1] - 0.5)
+            d16 = frame.astype(np.uint16)
+            rgb = np.zeros((480, 640, 3), np.uint8)
+            rgb[:, :, 1] = (d16 // 256).astype(np.uint8)
+            rgb[:, :, 2] = (d16 % 256).astype(np.uint8)
+            Image.fromarray(rgb).save(os.path.join(root, split, f"depth_1_{i+1:07d}.png"))
+            uvds[0, i, :, 0] = rng.uniform(cu - 25, cu + 25, 36)
+            uvds[0, i, :, 1] = rng.uniform(cv - 25, cv + 25, 36)
+            uvds[0, i, :, 2] = rng.uniform(z - 50, z + 50, 36)
+            centers.append([cu, cv, z])
+        savemat(os.path.join(root, split, "joint_data.mat"), {"joint_uvd": uvds})
+        return centers
+
+    train_centers = write_split("train", 24)
+    test_centers = write_split("test", 4)
+    np.savetxt(os.path.join(root, "nyu_center_train.txt"), np.array(train_centers))
+    np.savetxt(os.path.join(root, "nyu_center_test.txt"), np.array(test_centers))
+    return root
+
+
+def test_nyu_roundtrip_and_fullregression(nyu_fixture, tmp_path, monkeypatch):
+    """NYU e2e (RGB-packed depth, mat annotations, val=checked test) and the
+    FullRegression ablation training path (uvd-only loss)."""
+    from pixelwiseregression_tpu.cli.test_main import run_inference
+    from pixelwiseregression_tpu.cli.train_main import run_training
+
+    monkeypatch.chdir(tmp_path)
+    args = _train_args(nyu_fixture)
+    best_epoch, best_err = run_training(args, "NYU")
+    assert np.isfinite(best_err)
+
+    targs = _test_args(nyu_fixture)
+    targs.process_mode = "uvd"
+    result_name, _ = run_inference(targs, "NYU")
+    out = np.loadtxt(result_name)
+    assert out.shape == (4, 14 * 3) and np.isfinite(out).all()
+
+    # FullRegression ablation (train_fullregression.py path)
+    fargs = _train_args(nyu_fixture)
+    fargs.suffix = "fr"
+    for a in ("heatmap_method", "lambda_h", "lambda_d", "alpha", "filter_size"):
+        delattr(fargs, a) if hasattr(fargs, a) else None
+    best_epoch, best_err = run_training(fargs, "NYU", fullregression=True)
+    assert np.isfinite(best_err)
+    tf = _test_args(nyu_fixture)
+    tf.suffix = "fr"
+    result_name, _ = run_inference(tf, "NYU", fullregression=True)
+    out = np.loadtxt(result_name)
+    assert out.shape == (4, 14 * 3) and np.isfinite(out).all()
