@@ -125,7 +125,9 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
     model_kw = model_kwargs_from_args(args, joints, fullregression=fullregression)
     model = (FullRegression if fullregression else PixelwiseRegression)(**model_kw)
 
-    steps_per_epoch = train_loader.num_samples() // args.batch_size
+    # global sample count (multi-host loaders hold only a process-local
+    # slice) and a floor of 1 so the LR schedule never divides by zero
+    steps_per_epoch = max(len(trainset.lines) // args.batch_size, 1)
     print(f"there are {steps_per_epoch} steps per epoch!")
 
     tx = make_optimizer(
@@ -250,29 +252,34 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
                 print(f"profile trace written to {profile_dir}")
                 profile_dir = None
             step_count += 1
+        if step_count == 0:
+            raise RuntimeError(
+                f"no training batches: {len(trainset.lines)} samples < "
+                f"batch_size {args.batch_size} with drop_last"
+            )
         train_loss = float(metrics["loss"])
         stage_l = np.asarray(metrics["stage_losses"])
 
         # ---- eval ----
-        val_losses, val_errs, n_total = None, None, 0
+        val_losses, val_errs, n_total, n_batches = None, None, 0.0, 0
         for batch in val_loader:
-            count = int(batch.pop("count"))
+            batch.pop("count")
             if viz_batch is None:
                 viz_batch = {k: np.asarray(v) for k, v in batch.items() if np.ndim(v)}
             batch = shard_batch(batch, mesh)
             m = eval_step(state, batch)
-            errs = np.asarray(m["per_sample_err_mm"])[:, :count]  # [stages, count]
+            # err_sum_mm/count/stage_losses are replicated scalars ->
+            # fetchable on multi-host (per-sample arrays would not be)
+            errs = np.asarray(m["err_sum_mm"])  # [stages]
             sl = np.asarray(m["stage_losses"])
             if val_errs is None:
-                val_errs = errs.sum(axis=1)
-                val_losses = sl
-                n_batches = 1
+                val_errs, val_losses = errs, sl
             else:
-                val_errs += errs.sum(axis=1)
-                val_losses += sl
-                n_batches += 1
-            n_total += count
-        val_errs = val_errs / max(n_total, 1)
+                val_errs = val_errs + errs
+                val_losses = val_losses + sl
+            n_total += float(m["count"])
+            n_batches += 1
+        val_errs = val_errs / max(n_total, 1.0)
         val_losses = val_losses / max(n_batches, 1)
 
         elapsed = time.time() - t0

@@ -20,7 +20,6 @@ of name -> ndarray).
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Mapping
 
 import numpy as np
@@ -104,10 +103,6 @@ def _leaf(kind: str, pname: str, value: np.ndarray):
             return ["dense", "kernel"], np.transpose(v, (1, 0))
         return ["dense", "bias"], v
     raise KeyError(kind)
-
-
-def _kind_of(name: str) -> str:
-    return "norm" if name.startswith("norm") or "norm" in name.split("/")[-1] else "conv"
 
 
 def convert_state_dict(

@@ -27,12 +27,18 @@ from pixelwiseregression_tpu.data.sources import HandSource
 
 def stack_records(records: List[Dict[str, np.ndarray]], pad_to: Optional[int] = None):
     """Stack per-sample host records into a batch; optionally pad by
-    repeating the final record. Returns (batch, count)."""
+    repeating the final record. Adds a ``weight`` field (1 = real sample,
+    0 = pad) so device-side reductions can mask padding without host-side
+    slicing (which breaks on multi-host sharded outputs).
+    Returns (batch, count)."""
     count = len(records)
-    if pad_to is not None and count < pad_to:
-        records = records + [records[-1]] * (pad_to - count)
+    total = pad_to if pad_to is not None and count < pad_to else count
+    if total > count:
+        records = records + [records[-1]] * (total - count)
     keys = records[0].keys()
-    return {k: np.stack([r[k] for r in records]) for k in keys}, count
+    batch = {k: np.stack([r[k] for r in records]) for k in keys}
+    batch["weight"] = (np.arange(total) < count).astype(np.float32)
+    return batch, count
 
 
 class Loader:
@@ -81,19 +87,23 @@ class Loader:
         batch_fn = getattr(self.source, "batch_records", None)
 
         def produce():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for idxs in batches:
-                    if batch_fn is not None:
-                        # native (GIL-free, internally threaded) batch decode
-                        recs = batch_fn([self.lines[i] for i in idxs])
-                    else:
-                        recs = list(
-                            pool.map(lambda i: self.source.record(self.lines[i]), idxs)
-                        )
-                    batch, count = stack_records(recs, pad_to=bs)
-                    batch["count"] = np.int32(count)
-                    out_q.put(batch)
-            out_q.put(sentinel)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for idxs in batches:
+                        if batch_fn is not None:
+                            # native (GIL-free, internally threaded) batch decode
+                            recs = batch_fn([self.lines[i] for i in idxs])
+                        else:
+                            recs = list(
+                                pool.map(lambda i: self.source.record(self.lines[i]), idxs)
+                            )
+                        batch, count = stack_records(recs, pad_to=bs)
+                        batch["count"] = np.int32(count)
+                        out_q.put(batch)
+            except BaseException as e:  # surface decode failures to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -101,4 +111,6 @@ class Loader:
             item = out_q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

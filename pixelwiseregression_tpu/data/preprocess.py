@@ -26,8 +26,9 @@ Clean (non-augmented) path — the checkpoint-parity path:
 
 Augmented path (train only) replicates the reference's semantics including
 its quirks (documented inline): rotation is *always* applied when any
-augmentation flag is on; ``using_flip`` makes the whole augmented branch
-fall back to the clean path (the reference's NameError at datasets.py:267).
+augmentation flag is on; with ``using_flip`` the ~50% of samples whose flip
+coin lands true hit the reference's NameError (datasets.py:267) and fall
+back to the clean path, while the rest stay augmented (un-flipped).
 Per-sample fallback on failed heatmap splats mirrors the reference's
 try/except (datasets.py:292-301) via a select.
 """
@@ -169,12 +170,6 @@ def _process_one(
     }
 
     use_aug = augment and cfg.augmentation
-    # QUIRK(parity): using_flip=True raises NameError inside the reference's
-    # augmented branch (datasets.py:267 uses joint_uvd_centered before its
-    # definition at :277), so the bare except sends EVERY sample down the
-    # clean path. strict_quirks replicates that behavior.
-    if cfg.strict_quirks and cfg.using_flip:
-        use_aug = False
 
     if use_aug:
         k_angle, k_scale, k_shift, k_flip = jax.random.split(key, 4)
@@ -215,6 +210,11 @@ def _process_one(
         do_flip = (not cfg.strict_quirks) and cfg.using_flip
         if do_flip:
             img_a = jnp.where(flip_draw, img_a[:, ::-1], img_a)
+        # QUIRK(parity): with strict quirks, a drawn flip raises NameError in
+        # the reference (datasets.py:267 uses joint_uvd_centered before its
+        # definition at :277) and the bare except sends THAT sample down the
+        # clean path — the other ~50% (coin says no flip) stay augmented.
+        flip_fails = cfg.strict_quirks and cfg.using_flip
 
         com_af = jnp.stack(
             [com_a_int[0].astype(jnp.float32), com_a_int[1].astype(jnp.float32), com_z]
@@ -253,6 +253,8 @@ def _process_one(
         # try/except and would reject the sample entirely); we fold the
         # mask>=10 check into train-time validity for both paths.
         aug_ok = jnp.all(valid_a) & crop_ok
+        if flip_fails:
+            aug_ok = aug_ok & ~flip_draw
 
         out_a = {
             "img": img_a,

@@ -146,21 +146,36 @@ def load_bin(path: str):
     return img.astype(np.float64), left, top, right, bottom
 
 
+def _native():
+    from pixelwiseregression_tpu import native
+
+    return native if native.available() else None
+
+
 def load_png16(path: str) -> np.ndarray:
     """16-bit grayscale PNG -> depth in mm, replicating
-    ``plt.imread(path) * 65535`` float32 rounding (datasets.py:635, 940)."""
+    ``plt.imread(path) * 65535`` float32 rounding (datasets.py:635, 940).
+    PNG decode via PIL (C); the scale conversion runs in the native library
+    when available (bit-identical, numpy fallback otherwise)."""
     from PIL import Image
 
     raw = np.asarray(Image.open(path))
+    nat = _native()
+    if nat is not None and raw.dtype == np.uint16:
+        return nat.png16_scale_batch(raw[None], num_threads=1)[0]
     return (raw.astype(np.float32) / 65535.0) * 65535.0
 
 
 def load_png_nyu(path: str) -> np.ndarray:
     """NYU RGB-packed depth: ``(g*256 + b)*255`` on plt.imread's [0,1] floats
-    (reference: datasets.py:809-810), replicated in float32."""
+    (reference: datasets.py:809-810), replicated in float32. Unpacking runs
+    in the native library when available (bit-identical, numpy fallback)."""
     from PIL import Image
 
     raw = np.asarray(Image.open(path))
+    nat = _native()
+    if nat is not None and raw.dtype == np.uint8 and raw.ndim == 3 and raw.shape[2] == 3:
+        return nat.nyu_pack_batch(raw[None], num_threads=1)[0]
     g = raw[:, :, 1].astype(np.float32) / 255.0
     b = raw[:, :, 2].astype(np.float32) / 255.0
     return (g * 256.0 + b) * 255.0

@@ -9,23 +9,16 @@ from __future__ import annotations
 
 from typing import Any
 
-import numpy as np
-
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from pixelwiseregression_tpu.models.layers import Conv, apply_norm, make_norm, xavier_normal
+from pixelwiseregression_tpu.models.layers import (
+    Conv,
+    apply_norm,
+    make_norm,
+    torch_uniform_init,
+)
 from pixelwiseregression_tpu.models.pixelwise import Hourglass
-
-
-def _torch_linear_bias_init(fan_in: int):
-    bound = 1.0 / np.sqrt(fan_in)
-
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
 
 
 class _Dense(nn.Module):
@@ -35,14 +28,14 @@ class _Dense(nn.Module):
     @nn.compact
     def __call__(self, x):
         # NOTE: the reference's xavier init hook only touches Conv2d weights
-        # (utils.py:339-342), so Linear layers keep torch's default
-        # kaiming-uniform init; we approximate with the same uniform bound.
+        # (utils.py:339-342), so Linear layers keep torch's defaults:
+        # kaiming-uniform weight (a=sqrt(5)) and uniform bias, both bounded
+        # by 1/sqrt(fan_in) and symmetric around zero.
         fan_in = x.shape[-1]
-        bound = float(np.sqrt(1.0 / fan_in) * np.sqrt(3.0) * np.sqrt(2.0 / (1 + 5)))
         return nn.Dense(
             self.features,
-            kernel_init=jax.nn.initializers.uniform(scale=2 * bound),
-            bias_init=_torch_linear_bias_init(fan_in),
+            kernel_init=torch_uniform_init(fan_in),
+            bias_init=torch_uniform_init(fan_in),
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="dense",

@@ -26,8 +26,10 @@ import flax.linen as nn
 xavier_normal = jax.nn.initializers.variance_scaling(1.0, "fan_avg", "normal")
 
 
-def _torch_conv_bias_init(fan_in: int):
-    """torch Conv2d default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+def torch_uniform_init(fan_in: int):
+    """torch's default symmetric uniform U(-1/sqrt(fan_in), 1/sqrt(fan_in)):
+    Conv2d/Linear bias default, and Linear kaiming-uniform weight (a=sqrt(5))
+    collapses to the same bound."""
     bound = 1.0 / np.sqrt(fan_in)
 
     def init(key, shape, dtype=jnp.float32):
@@ -55,7 +57,7 @@ class Conv(nn.Module):
             strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
             kernel_init=xavier_normal,
-            bias_init=_torch_conv_bias_init(fan_in),
+            bias_init=torch_uniform_init(fan_in),
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="conv",

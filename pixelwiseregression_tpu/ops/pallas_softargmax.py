@@ -34,18 +34,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pixelwiseregression_tpu.ops.heatmap import com_filter
 from pixelwiseregression_tpu.ops.softargmax import soft_argmax_decode
 
 _EPS = 1e-14
 
 
 def _flat_com_filters(h: int, w: int):
-    """COM filters flattened to [1, HW] (reference: utils.py:24-35)."""
-    j = np.arange(w, dtype=np.float64)
-    i = np.arange(h, dtype=np.float64)
-    fu = np.broadcast_to((j - w // 2) / (w - 1), (h, w)).reshape(1, -1)
-    fv = np.broadcast_to(((i - h // 2) / (h - 1))[:, None], (h, w)).reshape(1, -1)
-    return fu.astype(np.float32), fv.astype(np.float32)
+    """COM filters flattened to [1, HW] (single source of truth:
+    ops.heatmap.com_filter, reference: utils.py:24-35)."""
+    f = com_filter(w, h).astype(np.float32).reshape(2, 1, -1)
+    return f[0], f[1]
 
 
 def _fwd_kernel(x_ref, dm_ref, label_ref, mask_ref, w_ref, fu_ref, fv_ref,

@@ -144,6 +144,7 @@ def make_train_step(
     """
 
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        weight = batch.get("weight")
         if preprocess_cfg is not None:
             data = preprocess_batch(batch, rng, preprocess_cfg, augment=augment)
         else:
@@ -151,6 +152,9 @@ def make_train_step(
         sw = data.get("valid")
         if sw is not None:
             sw = sw.astype(jnp.float32)
+        if weight is not None:
+            w = weight.astype(jnp.float32)
+            sw = w if sw is None else sw * w
 
         def loss_fn(params):
             variables = {"params": params}
@@ -199,17 +203,26 @@ def make_eval_step(
     """
 
     def step(state: TrainState, batch: Dict[str, jax.Array]):
+        # `weight` marks real (1) vs padded (0) samples in the fixed-size
+        # batch; all outputs reduce to *replicated scalars* so they are
+        # fetchable on multi-host runs (a per-sample sharded output would
+        # span non-addressable devices).
+        weight = batch.get("weight")
         if preprocess_cfg is not None:
             data = preprocess_batch(batch, jax.random.PRNGKey(0), preprocess_cfg)
         else:
             data = batch
+        if weight is None:
+            weight = jnp.ones(data["img"].shape[0], jnp.float32)
+        weight = weight.astype(jnp.float32)
+
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         results = state.apply_fn(
             variables, data["img"], data["label_img"], data["mask"], train=False
         )
-        every = stage_losses(results, data, loss_cfg.lambda_h, loss_cfg.lambda_d)
+        every = stage_losses(results, data, loss_cfg.lambda_h, loss_cfg.lambda_d, weight)
         loss = total_loss(every, loss_cfg.alpha)
 
         box = data["box_size"].astype(jnp.float32)
@@ -217,16 +230,17 @@ def make_eval_step(
         cube = data["cube"].astype(jnp.float32)
         true_uvd = recover_uvd(data["uvd"].astype(jnp.float32), box, com, cube)
         true_xyz = camera.uvd2xyz(true_uvd)
-        errors = []
+        err_sums = []
         for _, _, uvd in results:
             pred = recover_uvd(uvd.astype(jnp.float32), box, com, cube)
             xyz = camera.uvd2xyz(pred)
             err = jnp.sqrt(jnp.sum((xyz - true_xyz) ** 2, axis=-1))  # [B, J]
-            errors.append(jnp.mean(err, axis=-1))                     # [B]
+            err_sums.append(jnp.sum(jnp.mean(err, axis=-1) * weight))
         return {
             "loss": loss,
             "stage_losses": jnp.asarray(every),
-            "per_sample_err_mm": jnp.stack(errors),  # [stages, B]
+            "err_sum_mm": jnp.stack(err_sums),   # [stages], weighted sums
+            "count": jnp.sum(weight),
         }
 
     return jax.jit(step)

@@ -64,6 +64,14 @@ def test_eval_step_metric():
     batch = _host_batch([_synthetic_sample(joints=JOINTS) for _ in range(4)])
     ev = make_eval_step(CFG, LossConfig(), CAM)
     m = ev(state, batch)
-    assert m["per_sample_err_mm"].shape == (1, 4)
-    err = float(jnp.mean(m["per_sample_err_mm"]))
+    assert m["err_sum_mm"].shape == (1,)
+    assert float(m["count"]) == 4
+    err = float(m["err_sum_mm"][0]) / 4
     assert np.isfinite(err) and 0 < err < 1000
+
+    # padded samples (weight=0) must not contribute to the metric
+    batch_w = dict(batch)
+    batch_w["weight"] = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    m2 = ev(state, batch_w)
+    assert float(m2["count"]) == 2
+    assert float(m2["err_sum_mm"][0]) < float(m["err_sum_mm"][0])
