@@ -36,6 +36,9 @@ def add_tpu_args(p: argparse.ArgumentParser):
                    help="fix reference quirks (honor --using_rotation, working flip)")
     g.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations (TPU mixed precision)")
+    g.add_argument("--remat", action="store_true",
+                   help="rematerialize prediction blocks on backward (less "
+                        "activation memory, enables larger per-chip batches)")
     g.add_argument("--matmul_precision", type=str, default=None,
                    choices=["default", "high", "highest"],
                    help="XLA matmul precision (use 'highest' for checkpoint parity)")
@@ -140,5 +143,6 @@ def model_kwargs_from_args(args, joints: int, fullregression: bool = False):
             kernel_size=args.filter_size,
             heatmap_method=args.heatmap_method,
             decoder=args.decoder,
+            remat=getattr(args, "remat", False),
         )
     return kw
