@@ -378,24 +378,37 @@ def make_eval_step_fullreg(preprocess_cfg, camera):
     from pixelwiseregression_tpu.data.preprocess import preprocess_batch
 
     def step(state, batch):
+        weight = batch.get("weight")
         data = preprocess_batch(batch, jax.random.PRNGKey(0), preprocess_cfg)
+        b = data["img"].shape[0]
+        w = jnp.ones(b, jnp.float32) if weight is None else weight.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(w), 1.0) * data["uvd"].shape[1]
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         results = state.apply_fn(variables, data["img"], data["label_img"], data["mask"], train=False)
         uvd_t = data["uvd"].astype(jnp.float32)
-        per_stage = [jnp.mean(jnp.sum((u.astype(jnp.float32) - uvd_t) ** 2, axis=2)) for u in results]
+        per_stage = [
+            jnp.sum(jnp.sum((u.astype(jnp.float32) - uvd_t) ** 2, axis=2) * w[:, None]) / denom
+            for u in results
+        ]
         loss = sum(per_stage)
 
         box = data["box_size"].astype(jnp.float32)
         com = data["com"].astype(jnp.float32)
         cube = data["cube"].astype(jnp.float32)
         true_xyz = camera.uvd2xyz(recover_uvd(uvd_t, box, com, cube))
-        errors = []
+        err_sums = []
         for u in results:
             xyz = camera.uvd2xyz(recover_uvd(u.astype(jnp.float32), box, com, cube))
-            errors.append(jnp.mean(jnp.sqrt(jnp.sum((xyz - true_xyz) ** 2, axis=-1)), axis=-1))
+            err = jnp.mean(jnp.sqrt(jnp.sum((xyz - true_xyz) ** 2, axis=-1)), axis=-1)
+            err_sums.append(jnp.sum(err * w))
         sl = jnp.stack([jnp.zeros_like(jnp.asarray(per_stage))] * 2 + [jnp.asarray(per_stage)], axis=1)
-        return {"loss": loss, "stage_losses": sl, "per_sample_err_mm": jnp.stack(errors)}
+        return {
+            "loss": loss,
+            "stage_losses": sl,
+            "err_sum_mm": jnp.stack(err_sums),
+            "count": jnp.sum(w),
+        }
 
     return jax.jit(step)
