@@ -36,6 +36,9 @@ def add_tpu_args(p: argparse.ArgumentParser):
                    help="fix reference quirks (honor --using_rotation, working flip)")
     g.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations (TPU mixed precision)")
+    g.add_argument("--aug_fallback", type=str, default="clean", choices=["clean", "drop"],
+                   help="failed-augmentation policy: 'clean' = reference fallback to the "
+                        "unaugmented sample; 'drop' = mask from loss (faster)")
     g.add_argument("--remat", action="store_true",
                    help="rematerialize prediction blocks on backward (less "
                         "activation memory, enables larger per-chip batches)")

@@ -83,6 +83,7 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
         using_rotation=args.using_rotation, using_scale=args.using_scale,
         using_shift=args.using_shift, using_flip=args.using_flip,
         strict_quirks=not args.no_strict_quirks,
+        aug_fallback=getattr(args, "aug_fallback", "clean"),
     )
     pp_val = PreprocessConfig(
         fx=spec.camera.fx, fy=spec.camera.fy, halfu=spec.camera.halfu, halfv=spec.camera.halfv,

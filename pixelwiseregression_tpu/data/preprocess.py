@@ -69,6 +69,13 @@ class PreprocessConfig:
     # Replicate reference quirks exactly (see module docstring). When False:
     # rotation honors using_rotation, and using_flip actually flips.
     strict_quirks: bool = True
+    # What happens to a sample whose augmentation fails (heatmap splat out of
+    # range / degenerate crop / strict-quirk flip): "clean" reproduces the
+    # reference's fallback to the unaugmented sample (costs a second full
+    # label-synthesis path); "drop" masks the sample out of the loss instead
+    # and skips computing the clean path entirely (faster; failures are <1%
+    # on real data).
+    aug_fallback: str = "clean"
 
     @property
     def augmentation(self) -> bool:
@@ -153,23 +160,24 @@ def _process_one(
             "com": com_c,
         }
 
-    uvd_centered_c = joints_uvd - com_c[None, :]
-    label_c, mask_c, hm_c, dm_c, uvd_c, valid_c = _labels_from_crop(
-        img_c, uvd_centered_c, box_f, cube_f, cfg
-    )
-
-    out_c = {
-        "img": img_c,
-        "label_img": label_c,
-        "mask": mask_c,
-        "heatmaps": hm_c,
-        "dmaps": dm_c,
-        "uvd": uvd_c,
-        "com": com_c,
-        "valid": valid_c,
-    }
-
     use_aug = augment and cfg.augmentation
+    drop_fallback = use_aug and cfg.aug_fallback == "drop"
+
+    if not drop_fallback:
+        uvd_centered_c = joints_uvd - com_c[None, :]
+        label_c, mask_c, hm_c, dm_c, uvd_c, valid_c = _labels_from_crop(
+            img_c, uvd_centered_c, box_f, cube_f, cfg
+        )
+        out_c = {
+            "img": img_c,
+            "label_img": label_c,
+            "mask": mask_c,
+            "heatmaps": hm_c,
+            "dmaps": dm_c,
+            "uvd": uvd_c,
+            "com": com_c,
+            "valid": valid_c,
+        }
 
     if use_aug:
         k_angle, k_scale, k_shift, k_flip = jax.random.split(key, 4)
@@ -264,16 +272,22 @@ def _process_one(
             "dmaps": dm_a,
             "uvd": uvd_an,
             "com": com_af,
-            # if augmentation failed we fall back to the clean sample, which
-            # is valid whenever the clean path is
-            "valid": aug_ok | valid_c,
+            "valid": aug_ok,
         }
 
-        def _select(a, c):
-            cond = jnp.reshape(aug_ok, (1,) * a.ndim) if a.ndim else aug_ok
-            return jnp.where(cond, a, c)
+        if drop_fallback:
+            # failed augmentations are simply masked from the loss
+            out = out_a
+        else:
+            # reference semantics: fall back to the clean sample, which is
+            # then valid whenever the clean path is
+            out_a["valid"] = aug_ok | valid_c
 
-        out = jax.tree_util.tree_map(_select, out_a, out_c)
+            def _select(a, c):
+                cond = jnp.reshape(aug_ok, (1,) * a.ndim) if a.ndim else aug_ok
+                return jnp.where(cond, a, c)
+
+            out = jax.tree_util.tree_map(_select, out_a, out_c)
     else:
         out = out_c
 

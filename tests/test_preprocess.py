@@ -244,3 +244,29 @@ def test_no_strict_quirks_flip_works():
     u_aug = np.asarray(aug["uvd"][:, :, 0])
     i = int(np.argmax(flipped))
     np.testing.assert_allclose(u_aug[i], -u_clean[i], rtol=1e-4, atol=1e-5)
+
+
+def test_aug_fallback_drop():
+    """aug_fallback='drop': augmented outputs only; failed augmentations are
+    masked invalid instead of falling back to the clean sample."""
+    cfg = PreprocessConfig(
+        fx=FX, fy=FY, halfu=HALFU, halfv=HALFV,
+        using_rotation=True, using_scale=True, using_shift=True,
+        aug_fallback="drop",
+    )
+    samples = [_synthetic_sample() for _ in range(4)]
+    batch = _host_batch(samples)
+    out = preprocess_batch(batch, jax.random.PRNGKey(7), cfg, augment=True)
+    assert out["img"].shape == (4, IMS, IMS, 1)
+    assert bool(jnp.all(out["valid"]))  # blob joints are well inside the crop
+
+    # strict flip + drop: the coin-failed samples become invalid
+    cfg_flip = PreprocessConfig(
+        fx=FX, fy=FY, halfu=HALFU, halfv=HALFV,
+        using_flip=True, aug_fallback="drop",
+    )
+    samples8 = [_synthetic_sample() for _ in range(8)]
+    out8 = preprocess_batch(_host_batch(samples8), jax.random.PRNGKey(8),
+                            cfg_flip, augment=True)
+    valid = np.asarray(out8["valid"])
+    assert valid.any() and not valid.all()
