@@ -1,0 +1,133 @@
+"""Serving API: persistent-weights batched prediction.
+
+The reference has no serving story (inference = the test.py batch script).
+For production deployment this module provides a `Predictor` that loads a
+checkpoint once (native ``.ckpt`` or reference ``.pt``), keeps weights on
+device, and serves fixed-size batches of raw depth frames end-to-end:
+host crop-parameter precompute -> on-device preprocessing -> model ->
+de-normalized uvd (and world-space xyz).
+
+Batches are padded to the compiled batch size, so any request size up to
+``batch_size`` reuses the same executable (no recompiles in the serving
+path).
+
+Example:
+    pred = Predictor.from_checkpoint("Model/NYU_default_final.ckpt", "NYU")
+    out = pred.predict(frames, coms, cubes)   # -> {"uvd": ..., "xyz": ...}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pixelwiseregression_tpu.core.camera import recover_uvd
+from pixelwiseregression_tpu.data.loader import stack_records
+from pixelwiseregression_tpu.data.preprocess import PreprocessConfig, preprocess_batch
+from pixelwiseregression_tpu.data.sources import SPECS, make_record
+from pixelwiseregression_tpu.models import PixelwiseRegression
+from pixelwiseregression_tpu.train.checkpoint import load_checkpoint
+
+
+@dataclasses.dataclass
+class Predictor:
+    model: PixelwiseRegression
+    variables: dict
+    cfg: PreprocessConfig
+    spec: object
+    batch_size: int
+    _infer: object = None
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        path: str,
+        dataset: str,
+        batch_size: int = 32,
+        stages: int = 2,
+        features: int = 128,
+        level: int = 4,
+        label_size: int = 64,
+        norm_method: str = "instance",
+        heatmap_method: str = "softmax",
+        filter_size: int = 3,
+        decoder: str = "xla",
+        dtype=None,
+    ) -> "Predictor":
+        spec = SPECS[dataset]
+        image_size = label_size * 2
+
+        model = PixelwiseRegression(
+            joints=spec.joint_number, stage=stages, label_size=label_size,
+            features=features, level=level, kernel_size=filter_size,
+            norm_method=norm_method, heatmap_method=heatmap_method,
+            decoder=decoder,
+            dtype=dtype if dtype is not None else jnp.float32,
+        )
+        template = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, image_size, image_size, 1)),
+            jnp.zeros((1, label_size, label_size, 1)),
+            jnp.zeros((1, label_size, label_size, 1)),
+            train=False,
+        )
+        ckpt = load_checkpoint(path, params_template=template["params"])
+        variables = {"params": jax.device_put(ckpt["params"])}
+        if ckpt["batch_stats"]:
+            variables["batch_stats"] = jax.device_put(ckpt["batch_stats"])
+
+        cfg = PreprocessConfig(
+            fx=spec.camera.fx, fy=spec.camera.fy,
+            halfu=spec.camera.halfu, halfv=spec.camera.halfv,
+            image_size=image_size, label_size=label_size,
+        )
+        self = cls(model=model, variables=variables, cfg=cfg, spec=spec,
+                   batch_size=batch_size)
+
+        @jax.jit
+        def infer(variables, batch):
+            data = preprocess_batch(batch, jax.random.PRNGKey(0), cfg, test_only=True)
+            results = model.apply(
+                variables, data["img"], data["label_img"], data["mask"], train=False
+            )
+            uvd = results[-1][2].astype(jnp.float32)
+            return recover_uvd(uvd, data["box_size"], data["com"], data["cube"])
+
+        self._infer = infer
+        return self
+
+    def predict(
+        self,
+        frames: np.ndarray,
+        coms: np.ndarray,
+        cubes: Optional[np.ndarray] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Predict joints for up to ``batch_size`` raw depth frames.
+
+        Args:
+          frames: ``[N, H, W]`` raw depth in mm (dataset frame size).
+          coms: ``[N, 3]`` hand centers (u, v, depth-mm).
+          cubes: ``[N]`` crop cube half-sizes (dataset default if None).
+
+        Returns dict with ``uvd`` ``[N, J, 3]`` (frame coords + mm) and
+        ``xyz`` ``[N, J, 3]`` (world mm).
+        """
+        n = frames.shape[0]
+        assert 1 <= n <= self.batch_size, f"request size {n} > batch_size {self.batch_size}"
+        if cubes is None:
+            cubes = np.full(n, self.spec.cube_size)
+        records = [
+            make_record(self.spec, frames[i].astype(np.float64),
+                        None, np.asarray(coms[i], np.float64), float(cubes[i]))
+            for i in range(n)
+        ]
+        batch, count = stack_records(records, pad_to=self.batch_size)
+        batch.pop("weight")
+        uvd = np.asarray(self._infer(self.variables, batch))[:count]
+        xyz = np.asarray(self.spec.camera.uvd2xyz(uvd))
+        return {"uvd": uvd, "xyz": xyz}

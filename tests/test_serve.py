@@ -1,0 +1,46 @@
+"""Serving API: checkpoint -> Predictor -> raw frames -> joints."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pixelwiseregression_tpu.models import PixelwiseRegression
+from pixelwiseregression_tpu.serve import Predictor
+from pixelwiseregression_tpu.train.checkpoint import save_checkpoint
+
+
+def _blob_frame(cu, cv, z, h=240, w=320):
+    frame = np.zeros((h, w), np.float64)
+    yy, xx = np.mgrid[0:h, 0:w]
+    r2 = ((xx - cu) / 40.0) ** 2 + ((yy - cv) / 40.0) ** 2
+    frame[r2 < 1] = z + 30 * (r2[r2 < 1] - 0.5)
+    return frame
+
+
+def test_predictor_end_to_end(tmp_path):
+    model = PixelwiseRegression(joints=21, stage=1, label_size=32, features=16, level=1)
+    v = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 32, 32, 1)), jnp.zeros((1, 32, 32, 1)),
+        train=False,
+    )
+    ckpt = str(tmp_path / "MSRA_serve_final.ckpt")
+    save_checkpoint(ckpt, params=jax.device_get(v["params"]))
+
+    pred = Predictor.from_checkpoint(
+        ckpt, "MSRA", batch_size=4, stages=1, features=16, level=1, label_size=32
+    )
+    frames = np.stack([_blob_frame(160, 120, 400), _blob_frame(170, 110, 420)])
+    coms = np.array([[160.0, 120.0, 400.0], [170.0, 110.0, 420.0]])
+    out = pred.predict(frames, coms)
+    assert out["uvd"].shape == (2, 21, 3)
+    assert out["xyz"].shape == (2, 21, 3)
+    assert np.isfinite(out["uvd"]).all()
+    # untrained net predicts near the crop center: u ~ com_u, d ~ com_z
+    assert np.all(np.abs(out["uvd"][:, :, 0] - coms[:, None, 0]) < 120)
+    assert np.all(np.abs(out["uvd"][:, :, 2] - coms[:, None, 2]) < 400)  # depthmap head is unbounded untrained
+
+    # second call with a different request size reuses the same executable
+    out1 = pred.predict(frames[:1], coms[:1])
+    np.testing.assert_allclose(out1["uvd"][0], out["uvd"][0], rtol=1e-5, atol=1e-5)
