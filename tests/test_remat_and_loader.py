@@ -44,3 +44,34 @@ def test_loader_surfaces_decode_errors():
     loader = Loader(BrokenSource(), batch_size=2, num_workers=2)
     with pytest.raises(IOError, match="cannot decode"):
         list(loader)
+
+
+def test_instance_norm_custom_vjp_matches_autodiff():
+    from pixelwiseregression_tpu.models.layers import _instance_norm
+
+    def plain(x, scale, bias, eps=1e-5):
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        mean_sq = jnp.mean(jnp.square(x), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        a = inv * scale
+        return x * a + (bias - mean * a)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 16, 16, 8).astype(np.float32)) * 2.0 + 0.5
+    scale = jnp.asarray(rng.rand(8).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(8).astype(np.float32))
+    g_out = jnp.asarray(rng.randn(3, 16, 16, 8).astype(np.float32))
+
+    def loss(fn, x, s, b):
+        return jnp.sum(fn(x, s, b) * g_out)
+
+    y_c = _instance_norm(x, scale, bias, 1e-5)
+    y_p = plain(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_p), rtol=1e-6, atol=1e-6)
+
+    gc = jax.grad(lambda *a: loss(lambda x, s, b: _instance_norm(x, s, b, 1e-5), *a),
+                  argnums=(0, 1, 2))(x, scale, bias)
+    gp = jax.grad(lambda *a: loss(plain, *a), argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(gc, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
