@@ -139,6 +139,7 @@ def model_kwargs_from_args(args, joints: int, fullregression: bool = False):
         features=args.features,
         level=args.level,
         norm_method=args.norm_method,
+        remat=getattr(args, "remat", False),
         dtype=jnp.bfloat16 if (getattr(args, "bf16", False) or getattr(args, "mixed_precision", False)) else jnp.float32,
     )
     if not fullregression:
@@ -146,6 +147,5 @@ def model_kwargs_from_args(args, joints: int, fullregression: bool = False):
             kernel_size=args.filter_size,
             heatmap_method=args.heatmap_method,
             decoder=args.decoder,
-            remat=getattr(args, "remat", False),
         )
     return kw

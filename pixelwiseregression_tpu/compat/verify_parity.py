@@ -23,14 +23,10 @@ import sys
 import numpy as np
 
 
-def compare_on_inputs(torch_model, flax_model, variables, img, label, mask,
-                      box_size, cube, depth):
-    """Run both models; return per-joint uvd deltas converted to mm.
-
-    img/label/mask are NHWC numpy float32; box_size/cube/depth per-sample.
-    """
+def compare_on_inputs(torch_model, flax_model, variables, img, label, mask):
+    """Run both models on the same NHWC float32 inputs; return the raw
+    *normalized-unit* uvd deltas (mm conversion happens in main())."""
     import torch
-    import jax
     import jax.numpy as jnp
 
     with torch.no_grad():
@@ -46,13 +42,7 @@ def compare_on_inputs(torch_model, flax_model, variables, img, label, mask,
     )
     last = f_out[-1]
     f_uvd = np.asarray(last[2] if isinstance(last, tuple) else last)
-
-    d = f_uvd - t_uvd                                   # normalized units
-    # normalized uv scales by (box-1) px; px -> mm at the hand depth is
-    # depth/f (pinhole), cube normalizes d directly
-    from pixelwiseregression_tpu.data.sources import SPECS
-
-    return d, t_uvd, f_uvd
+    return f_uvd - t_uvd, t_uvd, f_uvd
 
 
 def main(argv=None):
@@ -85,13 +75,17 @@ def main(argv=None):
         print("reference torch implementation not importable; aborting")
         return 2
 
-    from pixelwiseregression_tpu.compat.torch_ckpt import load_torch_checkpoint
+    from pixelwiseregression_tpu.compat.torch_ckpt import convert_state_dict
     from pixelwiseregression_tpu.data.sources import SPECS
     from pixelwiseregression_tpu.models import PixelwiseRegression
 
+    import torch
+
     spec = SPECS[args.dataset]
     joints = spec.joint_number
-    variables, seed, model_param = load_torch_checkpoint(args.ckpt)
+    ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    variables = convert_state_dict(ckpt["state_dict"])
+    model_param = ckpt.get("model_param")
     if model_param:
         for k_ours, k_ref in [("stages", "stage"), ("features", "features"),
                               ("level", "level"), ("label_size", "label_size"),
@@ -101,15 +95,12 @@ def main(argv=None):
             if k_ref in model_param:
                 setattr(args, k_ours, model_param[k_ref])
 
-    import torch
-
     tm = ref_model.PixelwiseRegression(
         joints, stage=args.stages, label_size=args.label_size,
         features=args.features, level=args.level,
         norm_method=args.norm_method, heatmap_method=args.heatmap_method,
         kernel_size=args.filter_size,
     )
-    ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     tm.load_state_dict(ckpt["state_dict"])
     tm.eval()
 
@@ -157,12 +148,12 @@ def main(argv=None):
         cube = np.full(n, float(spec.cube_size))
         depth = np.full(n, 600.0)
 
-    d, t_uvd, f_uvd = compare_on_inputs(tm, fm, variables, img, label, mask, box, cube, depth)
+    d, t_uvd, f_uvd = compare_on_inputs(tm, fm, variables, img, label, mask)
 
-    # mm conversion: uv normalized -> * (box-1) px -> * depth/f mm; d -> * cube
-    px_to_mm = depth[:, None] / float(spec.camera.fx)
-    du_mm = np.abs(d[:, :, 0]) * (box[:, None] - 1) * px_to_mm
-    dv_mm = np.abs(d[:, :, 1]) * (box[:, None] - 1) * px_to_mm
+    # mm conversion: uv normalized -> * (box-1) px -> * depth/focal mm
+    # (per-axis focal length); d -> * cube
+    du_mm = np.abs(d[:, :, 0]) * (box[:, None] - 1) * depth[:, None] / float(spec.camera.fx)
+    dv_mm = np.abs(d[:, :, 1]) * (box[:, None] - 1) * depth[:, None] / float(spec.camera.fy)
     dd_mm = np.abs(d[:, :, 2]) * cube[:, None]
     worst = max(du_mm.max(), dv_mm.max(), dd_mm.max())
     print(f"samples: {n}   per-joint deltas (mm): "

@@ -89,6 +89,7 @@ class FullRegression(nn.Module):
     features: int = 256
     level: int = 4
     norm_method: str = "instance"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -112,11 +113,15 @@ class FullRegression(nn.Module):
 
         results = []
         f = x
+        block_cls = (
+            nn.remat(FullRegressionBlock, static_argnums=(4,))
+            if self.remat else FullRegressionBlock
+        )
         for s in range(self.stage):
             # QUIRK(parity): the reference never forwards `level` to its
             # blocks (model.py:292-294 passes it positionally into the
             # `level=4` default slot), so blocks always use level=4.
-            f, uvd = FullRegressionBlock(
+            f, uvd = block_cls(
                 joints=self.joints,
                 label_size=self.label_size,
                 features=self.features,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from pixelwiseregression_tpu.core.camera import recover_uvd
 from pixelwiseregression_tpu.data.loader import stack_records
 from pixelwiseregression_tpu.data.preprocess import PreprocessConfig, preprocess_batch
-from pixelwiseregression_tpu.data.sources import SPECS, make_record
+from pixelwiseregression_tpu.data.sources import SPECS, load_bbox, make_record
 from pixelwiseregression_tpu.models import PixelwiseRegression
 from pixelwiseregression_tpu.train.checkpoint import load_checkpoint
 
@@ -60,6 +60,20 @@ class Predictor:
         dtype=None,
     ) -> "Predictor":
         spec = SPECS[dataset]
+
+        # honor the architecture stored in the checkpoint (reference .pt
+        # files carry model_param; our .ckpt files store it too)
+        from pixelwiseregression_tpu.train.checkpoint import peek_model_param
+
+        model_param = peek_model_param(path)
+        if model_param:
+            stages = model_param.get("stage", stages)
+            features = model_param.get("features", features)
+            level = model_param.get("level", level)
+            label_size = model_param.get("label_size", label_size)
+            norm_method = model_param.get("norm_method", norm_method)
+            heatmap_method = model_param.get("heatmap_method", heatmap_method)
+            filter_size = model_param.get("kernel_size", filter_size)
         image_size = label_size * 2
 
         model = PixelwiseRegression(
@@ -121,11 +135,16 @@ class Predictor:
         assert 1 <= n <= self.batch_size, f"request size {n} > batch_size {self.batch_size}"
         if cubes is None:
             cubes = np.full(n, self.spec.cube_size)
-        records = [
-            make_record(self.spec, frames[i].astype(np.float64),
-                        None, np.asarray(coms[i], np.float64), float(cubes[i]))
-            for i in range(n)
-        ]
+        records = []
+        for i in range(n):
+            com = np.asarray(coms[i], np.float64)
+            cube = float(cubes[i])
+            # same load-time background bbox as the dataset sources
+            # (sources.py load_bbox; MSRA has none)
+            bbox = load_bbox(self.spec, com, cube) if self.spec.bbox_margin is not None else None
+            records.append(
+                make_record(self.spec, frames[i].astype(np.float64), None, com, cube, bbox)
+            )
         batch, count = stack_records(records, pad_to=self.batch_size)
         batch.pop("weight")
         uvd = np.asarray(self._infer(self.variables, batch))[:count]

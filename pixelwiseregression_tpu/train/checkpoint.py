@@ -90,6 +90,18 @@ def load_checkpoint(path: str, params_template=None, opt_state_template=None):
     }
 
 
+def peek_model_param(path: str) -> Optional[Dict[str, Any]]:
+    """Read just the stored model_param from a checkpoint (.ckpt or .pt)."""
+    if path.endswith(".pt"):
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        return ckpt.get("model_param")
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return json.loads(payload["meta"].decode()).get("model_param")
+
+
 def alias_final(model_dir: str, name_fmt: str, best_epoch: int):
     """Copy the best epoch's checkpoint to the ``final`` alias
     (reference: train.py:320)."""

@@ -75,3 +75,26 @@ def test_instance_norm_custom_vjp_matches_autodiff():
     gp = jax.grad(lambda *a: loss(plain, *a), argnums=(0, 1, 2))(x, scale, bias)
     for a, b in zip(gc, gp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_fullregression_remat_gradients_match():
+    from pixelwiseregression_tpu.models import FullRegression
+
+    kw = dict(joints=4, stage=2, label_size=32, features=16, norm_method="instance")
+    m0 = FullRegression(remat=False, **kw)
+    m1 = FullRegression(remat=True, **kw)
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)
+    label = jnp.asarray(rng.rand(2, 32, 32, 1), jnp.float32)
+    mask = jnp.ones((2, 32, 32, 1), jnp.float32)
+    v = m0.init(jax.random.PRNGKey(0), img, label, mask, train=False)
+
+    def loss(m, p):
+        return sum(jnp.sum(u ** 2) for u in m.apply({"params": p}, img, label, mask, train=True))
+
+    g0 = jax.grad(lambda p: loss(m0, p))(v["params"])
+    g1 = jax.grad(lambda p: loss(m1, p))(v["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        g0, g1,
+    )

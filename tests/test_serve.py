@@ -44,3 +44,25 @@ def test_predictor_end_to_end(tmp_path):
     # second call with a different request size reuses the same executable
     out1 = pred.predict(frames[:1], coms[:1])
     np.testing.assert_allclose(out1["uvd"][0], out["uvd"][0], rtol=1e-5, atol=1e-5)
+
+
+def test_predictor_honors_stored_model_param(tmp_path):
+    """A checkpoint carrying model_param loads with default from_checkpoint
+    args (no manual re-specification of the architecture)."""
+    model = PixelwiseRegression(joints=21, stage=1, label_size=32, features=16, level=1)
+    v = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 32, 32, 1)), jnp.zeros((1, 32, 32, 1)),
+        train=False,
+    )
+    ckpt = str(tmp_path / "MSRA_mp_final.ckpt")
+    save_checkpoint(
+        ckpt, params=jax.device_get(v["params"]),
+        model_param={"stage": 1, "features": 16, "level": 1, "label_size": 32,
+                     "norm_method": "instance", "heatmap_method": "softmax",
+                     "kernel_size": 3},
+    )
+    pred = Predictor.from_checkpoint(ckpt, "MSRA", batch_size=2)  # defaults
+    frames = _blob_frame(160, 120, 400)[None]
+    out = pred.predict(frames, np.array([[160.0, 120.0, 400.0]]))
+    assert out["uvd"].shape == (1, 21, 3)
