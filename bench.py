@@ -39,10 +39,21 @@ def main():
     parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--decoder", type=str, default="xla", choices=["xla", "pallas"],
                         help="xla measures ~2.5%% faster at inference: the pallas kernel's [J,HW] layout transposes outweigh its fusion here (its win is the fused backward)")
+    parser.add_argument("--quant", type=str, default="none",
+                        help="int8 MXU inference quantization, "
+                             "'int8[_static][_all|_heads]' (serving path; "
+                             "394 int8 TOPs vs 197 bf16 TFLOP/s on v5e). "
+                             "static modes calibrate on one batch first")
     parser.add_argument("--joints", type=int, default=14)
     parser.add_argument("--stages", type=int, default=1)
     parser.add_argument("--features", type=int, default=128)
     parser.add_argument("--level", type=int, default=4)
+    parser.add_argument("--norm_method", type=str, default="instance",
+                        choices=["instance", "batch"],
+                        help="batch norm folds to a constant affine at "
+                             "inference — the int8 modes only pay off there "
+                             "(instance norm's per-sample stats keep every "
+                             "conv's epilogue on the VPU)")
     args = parser.parse_args()
 
     import jax
@@ -59,8 +70,9 @@ def main():
     model = PixelwiseRegression(
         joints=args.joints, stage=args.stages, label_size=64,
         features=args.features, level=args.level,
-        norm_method="instance", heatmap_method="softmax",
+        norm_method=args.norm_method, heatmap_method="softmax",
         decoder=decoder, dtype=dtype,
+        quant=None if args.quant == "none" else args.quant,
     )
     b = args.batch_size
     rng = np.random.RandomState(0)
@@ -68,6 +80,10 @@ def main():
     label = jnp.asarray(rng.rand(b, 64, 64, 1), jnp.float32)
     mask = jnp.asarray((rng.rand(b, 64, 64, 1) > 0.3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img[:1], label[:1], mask[:1], train=False)
+    if "static" in args.quant:
+        _, upd = model.apply(variables, img, label, mask, train=False,
+                             mutable=["quant_scales"])
+        variables = dict(variables, **upd)
 
     def make_scan(n):
         @jax.jit
@@ -103,8 +119,10 @@ def main():
     dt = min(per_iter)
 
     fps = b / dt
+    qtag = "" if args.quant == "none" else f"_{args.quant}"
+    ntag = "" if args.norm_method == "instance" else f"_{args.norm_method}norm"
     print(json.dumps({
-        "metric": f"inference_fps_nyu_stage{args.stages}_128",
+        "metric": f"inference_fps_nyu_stage{args.stages}_128{qtag}{ntag}",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 10000.0, 4),

@@ -111,6 +111,13 @@ def make_test_parser(dataset_default: str = "MSRA", msra: bool = False,
         p.add_argument("--filter_size", type=int, default=3)
     if not msra and not fullregression:
         p.add_argument("--process_mode", type=str, default="uvd", help="choose from uvd and bb")
+    if not fullregression:
+        p.add_argument("--quant", type=str, default="none",
+                       help="int8 MXU inference quantization (2x bf16 peak on v5e): "
+                            "'int8[_static][_all|_heads]' — coverage: stem+heads / "
+                            "+hourglass / heads only; '_static' uses scales "
+                            "calibrated on the first batch (fastest). Same "
+                            "checkpoint serves all modes")
     p.add_argument("--gpu_id", type=str, default="0")
     p.add_argument("--num_workers", type=int, default=9999)
     p.add_argument("--seed", type=str, default="final")
@@ -143,9 +150,11 @@ def model_kwargs_from_args(args, joints: int, fullregression: bool = False):
         dtype=jnp.bfloat16 if (getattr(args, "bf16", False) or getattr(args, "mixed_precision", False)) else jnp.float32,
     )
     if not fullregression:
+        quant = getattr(args, "quant", "none")
         kw.update(
             kernel_size=args.filter_size,
             heatmap_method=args.heatmap_method,
             decoder=args.decoder,
+            quant=None if quant in (None, "none") else quant,
         )
     return kw

@@ -97,6 +97,17 @@ def run_inference(args, dataset_name: str, fullregression: bool = False, subject
     loader = Loader(testset, args.batch_size, shuffle=False, drop_last=False,
                     num_workers=resolve_num_workers(args.num_workers))
 
+    quant = model_kw.get("quant")
+    if quant and "static" in quant:
+        # static int8 scales: calibrate the quant_scales collection on the
+        # first batch, then freeze (see models/layers.py:_Int8Conv2D)
+        first = next(iter(loader))
+        first.pop("count", None)
+        data = preprocess_batch(first, jax.random.PRNGKey(0), pp, test_only=True)
+        _, upd = model.apply(variables, data["img"], data["label_img"], data["mask"],
+                             train=False, mutable=["quant_scales"])
+        variables = dict(variables, **upd)
+
     print("running on test dataset ......")
     pre_uvd = []
     start = time.time()

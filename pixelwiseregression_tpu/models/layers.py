@@ -38,16 +38,111 @@ def torch_uniform_init(fan_in: int):
     return init
 
 
-class Conv(nn.Module):
-    """2-D conv with torch-style explicit padding and init."""
+class _Int8Conv2D(nn.Module):
+    """int8-quantized 2-D conv for the inference path (v5e int8 MXU: 394
+    TOPs vs 197 bf16 TFLOP/s; measured 351 vs 182 on this chip = 1.93x).
+
+    Weights: symmetric per-output-channel int8, scales from |W|max (computed
+    from the f32 params at apply time — negligible work, and the param tree
+    stays byte-identical to the unquantized `Conv`, so any checkpoint loads
+    in either mode). Activations: symmetric per-sample dynamic int8 from
+    |x|max over (H, W, C) — no calibration pass needed; per-sample scales are
+    exact under convolution because convs never mix the batch axis.
+
+    Param names/shapes mirror flax ``nn.Conv`` (kernel HWIO + bias) under the
+    same ``conv`` scope.
+
+    Scale modes (the profiler made the trade-off explicit):
+
+    * dynamic (``static_scale=False``): per-sample scales from |x|max on the
+      fly. Zero setup, but the abs-max is a *reduction over the activation*
+      that cannot fuse with its own consumer — every quantized conv pays an
+      extra full read of the input plus a separate quantize pass. On the
+      bandwidth-bound stem this costs more than the int8 MXU saves.
+    * static (``static_scale=True``): one calibrated per-tensor scale stored
+      in the ``quant_scales`` collection. The quantize is then a pure
+      elementwise chain that fuses into the producer's epilogue (the producer
+      writes int8 *instead of* bf16 — the conv reads half the bytes), and the
+      int8 MXU win is kept intact. Calibrate by running representative
+      batches with ``mutable=["quant_scales"]`` (tracks running |x|max), then
+      freeze. `serve.Predictor` and the test CLIs do this automatically.
+    """
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     dtype: Any = jnp.float32
+    static_scale: bool = False
 
     @nn.compact
     def __call__(self, x):
+        k = self.kernel_size
+        pad = k // 2
+        cin = x.shape[-1]
+        fan_in = cin * k * k
+        kernel = self.param("kernel", xavier_normal, (k, k, cin, self.features), jnp.float32)
+        bias = self.param("bias", torch_uniform_init(fan_in), (self.features,), jnp.float32)
+
+        s_w = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0          # [Cout]
+        s_w = jnp.maximum(s_w, 1e-12)
+        w_q = jnp.round(kernel / s_w).astype(jnp.int8)
+
+        x32 = x.astype(jnp.float32)
+        if self.static_scale:
+            sv = self.variable("quant_scales", "act_absmax",
+                               lambda: jnp.zeros((), jnp.float32))
+            if self.is_mutable_collection("quant_scales"):
+                sv.value = jnp.maximum(sv.value, jnp.max(jnp.abs(x32)))
+            s_a = jnp.maximum(sv.value / 127.0, 1e-12)                  # scalar
+        else:
+            s_a = jnp.max(jnp.abs(x32), axis=(1, 2, 3), keepdims=True) / 127.0  # [B,1,1,1]
+            s_a = jnp.maximum(s_a, 1e-12)
+        x_q = jnp.clip(jnp.round(x32 / s_a), -127, 127).astype(jnp.int8)
+        # CRITICAL (measured on v5e): without this barrier XLA fuses the
+        # quantize chain INTO the convolution as a producer — the conv then
+        # re-quantizes every input tile on the VPU and runs at bf16 speed
+        # (1.95ms vs 0.82ms for the same s8 conv fed from HBM). The barrier
+        # materializes x_q; the quantize still fuses backward into the
+        # *producer's* epilogue (which then writes s8 instead of bf16).
+        x_q = jax.lax.optimization_barrier(x_q)
+
+        y = jax.lax.conv_general_dilated(
+            x_q, w_q,
+            window_strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        out = y.astype(jnp.float32) * (s_a * s_w[None, None, None, :]) + bias
+        return out.astype(self.dtype)
+
+
+class Conv(nn.Module):
+    """2-D conv with torch-style explicit padding and init.
+
+    ``quant='int8'`` swaps in the int8 MXU path (`_Int8Conv2D`) with an
+    identical parameter tree — inference only (round() has zero gradient).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Any = jnp.float32
+    quant: str | None = None  # None | 'int8' (dynamic) | 'int8_static'
+
+    @nn.compact
+    def __call__(self, x):
+        if self.quant in ("int8", "int8_static"):
+            return _Int8Conv2D(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                dtype=self.dtype,
+                static_scale=self.quant == "int8_static",
+                name="conv",
+            )(x)
+        if self.quant is not None:
+            raise ValueError(f"unknown quant mode: {self.quant}")
         k = self.kernel_size
         pad = k // 2
         fan_in = x.shape[-1] * k * k

@@ -32,11 +32,38 @@ from pixelwiseregression_tpu.models.layers import (
 from pixelwiseregression_tpu.ops.softargmax import soft_argmax_decode
 
 
+def parse_quant(quant: str | None):
+    """Parse a quant mode string ``int8[_static][_all|_heads]`` into the
+    per-region Conv modes (stem, heads, hourglass).
+
+    Coverage: default = stem + head conv_0..2 (the FLOP-dense convs);
+    ``_all`` additionally quantizes the hourglass ResBlocks; ``_heads``
+    restricts to the heads (the stem at 128x128 is bandwidth-bound — int8
+    only pays there with static scales, see `_Int8Conv2D`).
+    """
+    if quant in (None, "none"):
+        return None, None, None
+    m = quant
+    if m.endswith("_all"):
+        cov, m = "all", m[: -len("_all")]
+    elif m.endswith("_heads"):
+        cov, m = "heads", m[: -len("_heads")]
+    else:
+        cov = "default"
+    if m not in ("int8", "int8_static"):
+        raise ValueError(f"unknown quant mode: {quant}")
+    head_q = m
+    stem_q = m if cov in ("default", "all") else None
+    hg_q = m if cov == "all" else None
+    return stem_q, head_q, hg_q
+
+
 class ResBlock(nn.Module):
     features: int
     kernel_size: int = 3
     norm_method: str = "instance"
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -44,13 +71,13 @@ class ResBlock(nn.Module):
         f = self.features
         h = apply_norm(norm(name="norm_0"), x, train)
         h = nn.relu(h)
-        h = Conv(f // 2, 1, dtype=self.dtype, name="conv_0")(h)
+        h = Conv(f // 2, 1, dtype=self.dtype, quant=self.quant, name="conv_0")(h)
         h = apply_norm(norm(name="norm_1"), h, train)
         h = nn.relu(h)
-        h = Conv(f // 2, self.kernel_size, dtype=self.dtype, name="conv_1")(h)
+        h = Conv(f // 2, self.kernel_size, dtype=self.dtype, quant=self.quant, name="conv_1")(h)
         h = apply_norm(norm(name="norm_2"), h, train)
         h = nn.relu(h)
-        h = Conv(f, 1, dtype=self.dtype, name="conv_2")(h)
+        h = Conv(f, 1, dtype=self.dtype, quant=self.quant, name="conv_2")(h)
         return x + h
 
 
@@ -60,6 +87,7 @@ class Hourglass(nn.Module):
     kernel_size: int = 3
     norm_method: str = "instance"
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -68,6 +96,7 @@ class Hourglass(nn.Module):
             kernel_size=self.kernel_size,
             norm_method=self.norm_method,
             dtype=self.dtype,
+            quant=self.quant,
         )
         x = ResBlock(**kw, name="input_conv")(x, train)
         h = max_pool_2x2(x)
@@ -89,12 +118,16 @@ class _Head(nn.Module):
     kernel_size: int = 3
     norm_method: str = "instance"
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = make_norm(self.norm_method, self.dtype)
         for i in range(3):
-            x = Conv(self.features, self.kernel_size, dtype=self.dtype, name=f"conv_{i}")(x)
+            # conv_0..2 carry ~97% of the head FLOPs and are int8-safe; the
+            # output conv_3 stays full precision — its logits feed a learned-
+            # temperature softmax, the numerically sensitive spot.
+            x = Conv(self.features, self.kernel_size, dtype=self.dtype, quant=self.quant, name=f"conv_{i}")(x)
             x = apply_norm(norm(name=f"norm_{i}"), x, train)
             x = nn.relu(x)
         return Conv(self.out_features, self.kernel_size, dtype=self.dtype, name="conv_3")(x)
@@ -110,9 +143,13 @@ class PredictionBlock(nn.Module):
     heatmap_method: str = "softmax"
     decoder: str = "xla"  # 'xla' | 'pallas'
     dtype: Any = jnp.float32
+    quant: str | None = None  # None | 'int8' (stem+heads) | 'int8_all' (+hourglass)
 
     @nn.compact
     def __call__(self, x, label_img, mask, train: bool = False):
+        _, head_quant, hg_quant = parse_quant(self.quant)
+        # proj stays full precision: for stages >= 1 its input is the 2J+1
+        # concat of softmax heatmaps (tiny dynamic range) — and it is cheap.
         f = Conv(self.features, 1, dtype=self.dtype, name="proj")(x)
         # NOTE: the reference hourglass always uses its default kernel_size=3
         # (model.py:139 passes no kernel_size), independent of --filter_size.
@@ -122,6 +159,7 @@ class PredictionBlock(nn.Module):
             kernel_size=3,
             norm_method=self.norm_method,
             dtype=self.dtype,
+            quant=hg_quant,
             name="hourglass",
         )(f, train)
 
@@ -131,6 +169,7 @@ class PredictionBlock(nn.Module):
             self.kernel_size,
             self.norm_method,
             self.dtype,
+            head_quant,
             name="plane",
         )(f, train)
         depthmaps = _Head(
@@ -139,6 +178,7 @@ class PredictionBlock(nn.Module):
             self.kernel_size,
             self.norm_method,
             self.dtype,
+            head_quant,
             name="depth",
         )(f, train)
 
@@ -184,9 +224,21 @@ class PixelwiseRegression(nn.Module):
     # per-chip batch sizes
     remat: bool = False
     dtype: Any = jnp.float32
+    # int8 inference quantization (v5e int8 MXU is 2x bf16 peak). Mode
+    # string: ``int8[_static][_all|_heads]`` — see `parse_quant` for the
+    # coverage grammar and `_Int8Conv2D` for dynamic vs static scales.
+    # The parameter tree is identical to the unquantized model, so the same
+    # checkpoint serves every mode ('_static' additionally carries a
+    # calibrated ``quant_scales`` collection). Inference only.
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, img, label_img, mask, train: bool = False):
+        if train and self.quant:
+            raise ValueError(
+                "quant is an inference-only path (round() kills gradients); "
+                "train with quant=None and quantize at serving time"
+            )
         norm = make_norm(self.norm_method, self.dtype)
         x = img.astype(self.dtype)
         label_img = label_img.astype(self.dtype)
@@ -197,13 +249,17 @@ class PixelwiseRegression(nn.Module):
         widths = [32]
         while widths[-1] < self.features:
             widths.append(min(2 * widths[-1], self.features))
+        stem_quant, _, _ = parse_quant(self.quant)
         i = 0
         for w_ in widths:
-            x = Conv(w_, self.kernel_size, dtype=self.dtype, name=f"stem_conv_{i}")(x)
+            # the first conv reads the 1-channel depth image: nothing to
+            # gain from int8 there (K=9 contraction, bandwidth-bound)
+            q = stem_quant if i > 0 else None
+            x = Conv(w_, self.kernel_size, dtype=self.dtype, quant=q, name=f"stem_conv_{i}")(x)
             x = apply_norm(norm(name=f"stem_norm_{i}"), x, train)
             x = nn.relu(x)
             i += 1
-        x = Conv(self.features, self.kernel_size, stride=2, dtype=self.dtype, name=f"stem_conv_{i}")(x)
+        x = Conv(self.features, self.kernel_size, stride=2, dtype=self.dtype, quant=stem_quant, name=f"stem_conv_{i}")(x)
         x = apply_norm(norm(name=f"stem_norm_{i}"), x, train)
         x = nn.relu(x)
 
@@ -221,6 +277,7 @@ class PixelwiseRegression(nn.Module):
                 heatmap_method=self.heatmap_method,
                 decoder=self.decoder,
                 dtype=self.dtype,
+                quant=self.quant,
                 name=f"stage_{s}",
             )(f, label_img, mask_c, train)
             results.append((heatmaps, depthmaps, uvd))

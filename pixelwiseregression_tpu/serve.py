@@ -42,6 +42,7 @@ class Predictor:
     spec: object
     batch_size: int
     _infer: object = None
+    _calibrate: object = None
 
     @classmethod
     def from_checkpoint(
@@ -58,6 +59,7 @@ class Predictor:
         filter_size: int = 3,
         decoder: str = "xla",
         dtype=None,
+        quant: Optional[str] = None,
     ) -> "Predictor":
         spec = SPECS[dataset]
 
@@ -82,6 +84,7 @@ class Predictor:
             norm_method=norm_method, heatmap_method=heatmap_method,
             decoder=decoder,
             dtype=dtype if dtype is not None else jnp.float32,
+            quant=None if quant in (None, "none") else quant,
         )
         template = model.init(
             jax.random.PRNGKey(0),
@@ -113,6 +116,20 @@ class Predictor:
             return recover_uvd(uvd, data["box_size"], data["com"], data["cube"])
 
         self._infer = infer
+
+        if quant and "static" in quant:
+            # static int8 scales: calibrated transparently on the first
+            # predict() batch (models/layers.py:_Int8Conv2D)
+            @jax.jit
+            def calibrate(variables, batch):
+                data = preprocess_batch(batch, jax.random.PRNGKey(0), cfg, test_only=True)
+                _, upd = model.apply(
+                    variables, data["img"], data["label_img"], data["mask"],
+                    train=False, mutable=["quant_scales"],
+                )
+                return upd
+
+            self._calibrate = calibrate
         return self
 
     def predict(
@@ -147,6 +164,8 @@ class Predictor:
             )
         batch, count = stack_records(records, pad_to=self.batch_size)
         batch.pop("weight")
+        if self._calibrate is not None and "quant_scales" not in self.variables:
+            self.variables = dict(self.variables, **self._calibrate(self.variables, batch))
         uvd = np.asarray(self._infer(self.variables, batch))[:count]
         xyz = np.asarray(self.spec.camera.uvd2xyz(uvd))
         return {"uvd": uvd, "xyz": xyz}

@@ -66,3 +66,34 @@ def test_predictor_honors_stored_model_param(tmp_path):
     frames = _blob_frame(160, 120, 400)[None]
     out = pred.predict(frames, np.array([[160.0, 120.0, 400.0]]))
     assert out["uvd"].shape == (1, 21, 3)
+
+
+def test_predictor_static_quant_autocalibrates(tmp_path):
+    """quant='int8_static' serving: the first predict() calibrates the
+    quant_scales collection transparently; results stay finite and close to
+    the f32 predictor's."""
+    model = PixelwiseRegression(joints=21, stage=1, label_size=32, features=16, level=1)
+    v = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 32, 32, 1)), jnp.zeros((1, 32, 32, 1)),
+        train=False,
+    )
+    ckpt = str(tmp_path / "MSRA_q_final.ckpt")
+    save_checkpoint(ckpt, params=jax.device_get(v["params"]))
+
+    kw = dict(batch_size=4, stages=1, features=16, level=1, label_size=32)
+    p0 = Predictor.from_checkpoint(ckpt, "MSRA", **kw)
+    pq = Predictor.from_checkpoint(ckpt, "MSRA", quant="int8_static", **kw)
+    frames = np.stack([_blob_frame(160, 120, 400), _blob_frame(170, 110, 420)])
+    coms = np.array([[160.0, 120.0, 400.0], [170.0, 110.0, 420.0]])
+    out0 = p0.predict(frames, coms)
+    assert "quant_scales" not in pq.variables
+    outq = pq.predict(frames, coms)
+    assert "quant_scales" in pq.variables
+    assert np.isfinite(outq["uvd"]).all()
+    # in-plane coords decode through full-precision softmax: quant noise on
+    # an untrained net stays within a few crop pixels
+    assert np.all(np.abs(outq["uvd"][..., :2] - out0["uvd"][..., :2]) < 20)
+    # second call must reuse the calibrated scales (deterministic)
+    outq2 = pq.predict(frames, coms)
+    np.testing.assert_allclose(outq2["uvd"], outq["uvd"], rtol=1e-6, atol=1e-6)
