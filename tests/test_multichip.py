@@ -11,6 +11,30 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_bootstraps_devices_in_driver_env():
+    """Replicate the grading driver: a fresh process whose backend only has
+    ONE device (no conftest, no XLA_FLAGS) must still complete
+    dryrun_multichip(8) by self-bootstrapping a virtual CPU mesh — including
+    when the 1-device backend was already initialized (round-1 failure mode,
+    MULTICHIP_r01.json rc=1)."""
+    import os
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    script = (
+        "import jax\n"
+        "assert jax.device_count() == 1, jax.device_count()\n"  # backend up, 1 device
+        "import __graft_entry__ as ge\n"
+        "ge.dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "dryrun_multichip(8)" in proc.stdout
+
+
 def test_entry_compiles():
     import jax
     import __graft_entry__ as ge
