@@ -54,6 +54,19 @@ def main():
                              "inference — the int8 modes only pay off there "
                              "(instance norm's per-sample stats keep every "
                              "conv's epilogue on the VPU)")
+    parser.add_argument("--engine", type=str, default="auto",
+                        choices=["auto", "fused", "flax"],
+                        help="'fused' = serving engine with the whole-"
+                             "hourglass Pallas kernel (models/infer_engine)."
+                             " 'auto' uses it when the config supports it "
+                             "on TPU, else falls back to model.apply")
+    parser.add_argument("--train", dest="train", action="store_true", default=True,
+                        help="also measure the fused train step (raw 480x640 "
+                             "frames -> on-device preprocess+aug -> fwd/bwd "
+                             "-> AdamW) and report it as 'train_fps' in the "
+                             "same JSON line")
+    parser.add_argument("--no_train", dest="train", action="store_false")
+    parser.add_argument("--train_batch_size", type=int, default=128)
     args = parser.parse_args()
 
     import jax
@@ -85,15 +98,28 @@ def main():
                              mutable=["quant_scales"])
         variables = dict(variables, **upd)
 
+    engine = args.engine
+    if engine == "auto":
+        # 'flax' until the fused engine's hourglass kernel beats XLA on the
+        # measured configs (tracking in PERF.md); pass --engine fused to
+        # measure the kernel path
+        engine = "flax"
+    if engine == "fused":
+        from pixelwiseregression_tpu.models.infer_engine import make_fused_apply
+
+        fused_fn = make_fused_apply(model, variables)
+        forward = lambda variables, im, la, ma: fused_fn(im, la, ma)
+    else:
+        forward = lambda variables, im, la, ma: model.apply(
+            variables, im, la, ma, train=False)
+
     def make_scan(n):
         @jax.jit
         def run(variables, img, label, mask):
             def body(acc, i):
                 # per-iteration input perturbation: the body cannot be hoisted
-                out = model.apply(
-                    variables,
-                    img + i.astype(jnp.float32) * 1e-6,
-                    label, mask, train=False,
+                out = forward(
+                    variables, img + i.astype(jnp.float32) * 1e-6, label, mask
                 )[-1][2]
                 return acc + jnp.sum(out.astype(jnp.float32)), None
             acc, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(n))
@@ -119,6 +145,11 @@ def main():
     dt = min(per_iter)
 
     fps = b / dt
+
+    record = {}
+    if args.train:
+        record.update(bench_train(args))
+
     qtag = "" if args.quant == "none" else f"_{args.quant}"
     ntag = "" if args.norm_method == "instance" else f"_{args.norm_method}norm"
     print(json.dumps({
@@ -126,7 +157,83 @@ def main():
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 10000.0, 4),
+        "engine": engine,
+        **record,
     }))
+
+
+def bench_train(args):
+    """Train-step throughput (the reference hot loop being beaten:
+    train.py:156-211): raw NYU-shaped 480x640 frames on device, fused
+    preprocess (augmentation on) + 2-stage fwd/bwd + AdamW, bf16.
+
+    Same in-jit lax.scan timing as inference: the state threads through the
+    scan (so buffers donate exactly as in training), the raw batch is
+    perturbed per iteration so the body cannot be hoisted.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pixelwiseregression_tpu.data.preprocess import PreprocessConfig
+    from pixelwiseregression_tpu.models import PixelwiseRegression
+    from pixelwiseregression_tpu.train.loop import (
+        LossConfig, create_train_state, make_optimizer, make_train_step,
+    )
+    from pixelwiseregression_tpu.utils.synth import make_synthetic_raw_batch
+
+    b = args.train_batch_size
+    # NYU intrinsics/shape (reference: datasets.py:693-696)
+    fx, fy, fh, fw = 588.03, 587.07, 480, 640
+    cfg = PreprocessConfig(
+        fx=fx, fy=fy, halfu=fw / 2, halfv=fh / 2,
+        image_size=128, label_size=64, kernel_size=7, sigma=1.5,
+        using_rotation=True, using_scale=True, using_shift=True,
+    )
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = PixelwiseRegression(
+        joints=args.joints, stage=2, label_size=64, features=args.features,
+        level=args.level, norm_method=args.norm_method, dtype=dtype,
+    )
+    tx = make_optimizer(steps_per_epoch=100)
+    sample = (
+        jnp.zeros((2, 128, 128, 1)), jnp.zeros((2, 64, 64, 1)),
+        jnp.zeros((2, 64, 64, 1)),
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), sample, tx)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_raw_batch(b, fh, fw, args.joints, fx=fx, fy=fy).items()}
+    raw_step = make_train_step(cfg, LossConfig(), augment=True, jit=False)
+
+    def make_scan(n):
+        @jax.jit
+        def run(state, batch):
+            def body(carry, i):
+                st = carry
+                b2 = dict(batch)
+                b2["frame"] = batch["frame"] + i.astype(jnp.float32) * 1e-3
+                st, metrics = raw_step(st, b2, jax.random.fold_in(jax.random.PRNGKey(1), i))
+                return st, metrics["loss"]
+            st, losses = lax.scan(body, state, jnp.arange(n))
+            return losses[-1]
+        return run
+
+    import time
+    run_n, run_1 = make_scan(6), make_scan(1)
+    for f in (run_1, run_n):
+        float(f(state, batch))
+    per = []
+    for _ in range(args.repeat):
+        t0 = time.perf_counter(); float(run_1(state, batch))
+        t1 = time.perf_counter(); float(run_n(state, batch))
+        t2 = time.perf_counter()
+        per.append(((t2 - t1) - (t1 - t0)) / (6 - 1))
+    dt = min(per)
+    return {
+        "train_fps": round(b / dt, 1),
+        "train_ms_per_step": round(dt * 1e3, 2),
+        "train_batch_size": b,
+    }
 
 
 if __name__ == "__main__":

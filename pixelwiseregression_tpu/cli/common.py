@@ -26,9 +26,14 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--level", type=int, default=4)
 
 
-def add_tpu_args(p: argparse.ArgumentParser):
+def add_tpu_args(p: argparse.ArgumentParser, decoder_default: str = "pallas"):
     g = p.add_argument_group("tpu")
-    g.add_argument("--decoder", type=str, default="pallas", choices=["xla", "pallas"],
+    # default differs by CLI: training keeps the Pallas decoder (its win is
+    # the fused custom backward); inference defaults to the XLA decoder,
+    # which measures faster forward-only — the Pallas kernel's [J,HW]
+    # boundary transposes outweigh its fusion there (PERF.md).
+    g.add_argument("--decoder", type=str, default=decoder_default,
+                   choices=["xla", "pallas"],
                    help="soft-argmax decoder implementation")
     g.add_argument("--data_path", type=str, default=None,
                    help="dataset root (default Data/<dataset>)")
@@ -115,13 +120,16 @@ def make_test_parser(dataset_default: str = "MSRA", msra: bool = False,
         p.add_argument("--quant", type=str, default="none",
                        help="int8 MXU inference quantization (2x bf16 peak on v5e): "
                             "'int8[_static][_all|_heads]' — coverage: stem+heads / "
-                            "+hourglass / heads only; '_static' uses scales "
-                            "calibrated on the first batch (fastest). Same "
-                            "checkpoint serves all modes")
+                            "+hourglass / heads only; '_static' uses per-channel "
+                            "scales calibrated over --quant_calib_batches "
+                            "(fastest). Same checkpoint serves all modes")
+        p.add_argument("--quant_calib_batches", type=int, default=4,
+                       help="batches used to calibrate static int8 activation "
+                            "scales (running per-channel |x| max)")
     p.add_argument("--gpu_id", type=str, default="0")
     p.add_argument("--num_workers", type=int, default=9999)
     p.add_argument("--seed", type=str, default="final")
-    add_tpu_args(p)
+    add_tpu_args(p, decoder_default="xla")
     return p
 
 

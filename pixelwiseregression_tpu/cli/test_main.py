@@ -99,14 +99,27 @@ def run_inference(args, dataset_name: str, fullregression: bool = False, subject
 
     quant = model_kw.get("quant")
     if quant and "static" in quant:
-        # static int8 scales: calibrate the quant_scales collection on the
-        # first batch, then freeze (see models/layers.py:_Int8Conv2D)
-        first = next(iter(loader))
-        first.pop("count", None)
-        data = preprocess_batch(first, jax.random.PRNGKey(0), pp, test_only=True)
-        _, upd = model.apply(variables, data["img"], data["label_img"], data["mask"],
-                             train=False, mutable=["quant_scales"])
-        variables = dict(variables, **upd)
+        # static int8 scales: calibrate the quant_scales collection (running
+        # per-channel |x| max, see models/layers.py:_Int8Conv2D) over the
+        # first --quant_calib_batches batches, then freeze
+        n_calib = getattr(args, "quant_calib_batches", 4)
+
+        @jax.jit
+        def calib_step(variables, batch):
+            data = preprocess_batch(batch, jax.random.PRNGKey(0), pp, test_only=True)
+            _, upd = model.apply(variables, data["img"], data["label_img"],
+                                 data["mask"], train=False,
+                                 mutable=["quant_scales"])
+            return upd
+
+        it = iter(loader)
+        for _ in range(n_calib):
+            try:
+                b = next(it)
+            except StopIteration:
+                break
+            b.pop("count", None)
+            variables = dict(variables, **calib_step(variables, b))
 
     print("running on test dataset ......")
     pre_uvd = []

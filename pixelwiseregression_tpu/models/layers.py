@@ -59,13 +59,15 @@ class _Int8Conv2D(nn.Module):
       that cannot fuse with its own consumer — every quantized conv pays an
       extra full read of the input plus a separate quantize pass. On the
       bandwidth-bound stem this costs more than the int8 MXU saves.
-    * static (``static_scale=True``): one calibrated per-tensor scale stored
-      in the ``quant_scales`` collection. The quantize is then a pure
-      elementwise chain that fuses into the producer's epilogue (the producer
-      writes int8 *instead of* bf16 — the conv reads half the bytes), and the
-      int8 MXU win is kept intact. Calibrate by running representative
-      batches with ``mutable=["quant_scales"]`` (tracks running |x|max), then
-      freeze. `serve.Predictor` and the test CLIs do this automatically.
+    * static (``static_scale=True``): calibrated PER-INPUT-CHANNEL scales
+      stored in the ``quant_scales`` collection (running per-channel |x|max
+      over every batch run with ``mutable=["quant_scales"]``), folded into
+      the weight quantization so they are exact under convolution. The
+      quantize is then a pure elementwise chain that fuses into the
+      producer's epilogue (the producer writes int8 *instead of* bf16 — the
+      conv reads half the bytes), and the int8 MXU win is kept intact.
+      `serve.Predictor` and the test CLIs calibrate automatically
+      (``--quant_calib_batches``).
     """
 
     features: int
@@ -83,20 +85,30 @@ class _Int8Conv2D(nn.Module):
         kernel = self.param("kernel", xavier_normal, (k, k, cin, self.features), jnp.float32)
         bias = self.param("bias", torch_uniform_init(fan_in), (self.features,), jnp.float32)
 
-        s_w = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0          # [Cout]
-        s_w = jnp.maximum(s_w, 1e-12)
-        w_q = jnp.round(kernel / s_w).astype(jnp.int8)
-
         x32 = x.astype(jnp.float32)
         if self.static_scale:
-            sv = self.variable("quant_scales", "act_absmax",
-                               lambda: jnp.zeros((), jnp.float32))
+            # static scales are PER INPUT CHANNEL, calibrated as a running
+            # per-channel |x| max over as many batches as the caller runs
+            # with mutable=["quant_scales"] (a single batch's scalar absmax
+            # let one outlier set the clip range for every channel forever).
+            # Per-channel activation scales are exact under convolution by
+            # folding them into the weight before ITS quantization:
+            #   y = t_o * sum_c (x_c/s_c) * round(w*s_c/t_o)
+            sv = self.variable("quant_scales", "act_absmax_c",
+                               lambda: jnp.zeros((cin,), jnp.float32))
             if self.is_mutable_collection("quant_scales"):
-                sv.value = jnp.maximum(sv.value, jnp.max(jnp.abs(x32)))
-            s_a = jnp.maximum(sv.value / 127.0, 1e-12)                  # scalar
+                sv.value = jnp.maximum(sv.value, jnp.max(jnp.abs(x32), axis=(0, 1, 2)))
+            s_a = jnp.maximum(sv.value / 127.0, 1e-12)                  # [Cin]
+            w_eff = kernel * s_a[None, None, :, None]
+            s_w = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)) / 127.0, 1e-12)
+            w_q = jnp.round(w_eff / s_w).astype(jnp.int8)
+            s_out = s_w[None, None, None, :]                            # s_a folded
         else:
             s_a = jnp.max(jnp.abs(x32), axis=(1, 2, 3), keepdims=True) / 127.0  # [B,1,1,1]
             s_a = jnp.maximum(s_a, 1e-12)
+            s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0, 1e-12)
+            w_q = jnp.round(kernel / s_w).astype(jnp.int8)
+            s_out = s_a * s_w[None, None, None, :]
         x_q = jnp.clip(jnp.round(x32 / s_a), -127, 127).astype(jnp.int8)
         # CRITICAL (measured on v5e): without this barrier XLA fuses the
         # quantize chain INTO the convolution as a producer — the conv then
@@ -113,7 +125,7 @@ class _Int8Conv2D(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
-        out = y.astype(jnp.float32) * (s_a * s_w[None, None, None, :]) + bias
+        out = y.astype(jnp.float32) * s_out + bias
         return out.astype(self.dtype)
 
 
@@ -163,10 +175,11 @@ class Conv(nn.Module):
 def _instance_norm(x32, scale, bias, eps):
     """Instance norm core on f32 NHWC with a hand-written backward.
 
-    Forward: one-pass stats — E[x] and E[x^2] come out of a single read of
-    the activation (XLA fuses both reductions into the producing conv);
-    var = E[x^2] - E[x]^2 is accurate enough in f32 for O(1)-scale
-    activations. The affine is folded into one multiply-add.
+    Forward: anchor-shifted one-pass statistics (see `_instance_norm_fwd`) —
+    numerically equivalent to torch's two-pass variance on depth-crop-like
+    activations, while keeping both reductions fusable into the producing
+    conv in a single activation read; the affine is folded into one
+    multiply-add.
 
     Backward (custom): the standard layernorm-style form
         dx = scale*inv * (g - mean(g) - xhat * mean(g*xhat))
@@ -180,9 +193,22 @@ def _instance_norm(x32, scale, bias, eps):
 
 
 def _instance_norm_fwd(x32, scale, bias, eps):
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    mean_sq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
-    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    # Anchor-shifted one-pass statistics: var(x) = E[(x-c)^2] - E[x-c]^2 for
+    # any constant c. The raw one-pass form (c=0) cancels catastrophically on
+    # near-constant channels — depth crops are mostly exact zeros outside the
+    # hand, and the trained-checkpoint parity gate measured ~20 mm of drift
+    # from exactly this (rel-var error O(mean^2/var * eps)). The naive
+    # two-pass E[(x-mean)^2] fix costs a second full activation read and
+    # measured -19% on the stage-1 inference headline. Anchoring at one
+    # sample of the channel (c = x[:, 0, 0, :]) makes the cancellation term
+    # O((mean-c)^2/var) — benign for any realistic activation — while both
+    # reductions still fuse into the producing conv in ONE pass.
+    c = x32[:, :1, :1, :]
+    xc = x32 - c
+    m1 = jnp.mean(xc, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(jnp.square(xc), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    mean = c + m1
     inv = jax.lax.rsqrt(var + eps)
     a = inv * scale
     b = bias - mean * a

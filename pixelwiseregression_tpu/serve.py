@@ -43,6 +43,7 @@ class Predictor:
     batch_size: int
     _infer: object = None
     _calibrate: object = None
+    _calib_left: int = 4  # predict() batches used for static int8 calibration
 
     @classmethod
     def from_checkpoint(
@@ -119,7 +120,8 @@ class Predictor:
 
         if quant and "static" in quant:
             # static int8 scales: calibrated transparently on the first
-            # predict() batch (models/layers.py:_Int8Conv2D)
+            # few predict() batches (running per-channel |x| max,
+            # models/layers.py:_Int8Conv2D)
             @jax.jit
             def calibrate(variables, batch):
                 data = preprocess_batch(batch, jax.random.PRNGKey(0), cfg, test_only=True)
@@ -164,8 +166,9 @@ class Predictor:
             )
         batch, count = stack_records(records, pad_to=self.batch_size)
         batch.pop("weight")
-        if self._calibrate is not None and "quant_scales" not in self.variables:
+        if self._calibrate is not None and self._calib_left > 0:
             self.variables = dict(self.variables, **self._calibrate(self.variables, batch))
+            self._calib_left -= 1
         uvd = np.asarray(self._infer(self.variables, batch))[:count]
         xyz = np.asarray(self.spec.camera.uvd2xyz(uvd))
         return {"uvd": uvd, "xyz": xyz}

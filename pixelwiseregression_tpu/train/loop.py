@@ -134,6 +134,7 @@ def make_train_step(
     loss_cfg: LossConfig,
     augment: bool = True,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Build the jitted train step.
 
@@ -141,6 +142,9 @@ def make_train_step(
     (frames + crop params) and runs on-device preprocessing fused with
     fwd/bwd. Otherwise it consumes preprocessed tensors directly
     (keys: img, label_img, mask, uvd, heatmaps, dmaps).
+
+    ``jit=False`` returns the raw python step for embedding in an outer
+    jit/scan (bench.py's in-jit timing loop).
     """
 
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
@@ -187,7 +191,12 @@ def make_train_step(
         }
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    if not jit:
+        return step
+    # donate both the state AND the raw batch: the frame buffers are the
+    # largest per-step HBM allocations and are re-uploaded fresh every step,
+    # so giving them back to the allocator lets preprocessing reuse them
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
 def make_eval_step(

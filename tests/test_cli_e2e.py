@@ -129,39 +129,8 @@ def test_hand17_train_and_bb_inference(hand17_fixture, tmp_path, monkeypatch):
 @pytest.fixture(scope="module")
 def nyu_fixture(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("nyu"))
-    import numpy as np
-    from PIL import Image
-    from scipy.io import savemat
-
-    rng = np.random.RandomState(0)
-    os.makedirs(os.path.join(root, "train"), exist_ok=True)
-    os.makedirs(os.path.join(root, "test"), exist_ok=True)
-
-    def write_split(split, n):
-        uvds = np.zeros((1, n, 36, 3))
-        centers = []
-        for i in range(n):
-            cu, cv, z = rng.uniform(250, 390), rng.uniform(180, 300), rng.uniform(650, 850)
-            frame = np.zeros((480, 640), np.float64)
-            yy, xx = np.mgrid[0:480, 0:640]
-            r2 = ((xx - cu) / 55.0) ** 2 + ((yy - cv) / 55.0) ** 2
-            frame[r2 < 1] = z + 50 * (r2[r2 < 1] - 0.5)
-            d16 = frame.astype(np.uint16)
-            rgb = np.zeros((480, 640, 3), np.uint8)
-            rgb[:, :, 1] = (d16 // 256).astype(np.uint8)
-            rgb[:, :, 2] = (d16 % 256).astype(np.uint8)
-            Image.fromarray(rgb).save(os.path.join(root, split, f"depth_1_{i+1:07d}.png"))
-            uvds[0, i, :, 0] = rng.uniform(cu - 25, cu + 25, 36)
-            uvds[0, i, :, 1] = rng.uniform(cv - 25, cv + 25, 36)
-            uvds[0, i, :, 2] = rng.uniform(z - 50, z + 50, 36)
-            centers.append([cu, cv, z])
-        savemat(os.path.join(root, split, "joint_data.mat"), {"joint_uvd": uvds})
-        return centers
-
-    train_centers = write_split("train", 24)
-    test_centers = write_split("test", 4)
-    np.savetxt(os.path.join(root, "nyu_center_train.txt"), np.array(train_centers))
-    np.savetxt(os.path.join(root, "nyu_center_test.txt"), np.array(test_centers))
+    script = os.path.join(os.path.dirname(__file__), "fixtures", "make_nyu_fixture.py")
+    subprocess.run([sys.executable, script, root], check=True, capture_output=True)
     return root
 
 

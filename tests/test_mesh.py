@@ -53,3 +53,44 @@ def test_gradient_allreduce_over_mesh():
 def test_process_local_lines_single_process():
     lines = [f"l{i}" for i in range(10)]
     assert process_local_lines(lines) == lines  # process_count == 1
+
+
+def test_process_local_lines_multihost_interleave(monkeypatch):
+    """With process_count=3, per-host line lists must disjointly cover the
+    global list and reassemble it round-robin (global batch = concat of
+    local batches in process order)."""
+    lines = [f"l{i}" for i in range(10)]
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    parts = []
+    for i in range(3):
+        monkeypatch.setattr(jax, "process_index", lambda i=i: i)
+        parts.append(process_local_lines(lines))
+    assert sorted(sum(parts, [])) == sorted(lines)
+    rebuilt = [parts[k % 3][k // 3] for k in range(len(lines))]
+    assert rebuilt == lines
+
+    # shared shuffle order is applied before the round-robin split
+    order = [9, 3, 5, 1, 0, 2, 8, 7, 4, 6]
+    parts = []
+    for i in range(3):
+        monkeypatch.setattr(jax, "process_index", lambda i=i: i)
+        parts.append(process_local_lines(lines, shuffle_order=order))
+    shuffled = [lines[k] for k in order]
+    assert [parts[k % 3][k // 3] for k in range(len(lines))] == shuffled
+
+
+def test_shard_batch_multihost_branch(monkeypatch):
+    """Exercise the jax.make_array_from_process_local_data branch (dead in
+    single-process runs): with a mocked process_count it must take that
+    path and, in a 1-process world, assemble exactly the device_put result."""
+    mesh = make_mesh()
+    batch = {
+        "frame": np.arange(16 * 4, dtype=np.float32).reshape(16, 4),
+        "cube": np.arange(16, dtype=np.float32),
+    }
+    want = shard_batch(batch, mesh)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    out = shard_batch(batch, mesh)
+    for k in batch:
+        assert out[k].sharding.spec == P("data")
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(want[k]))

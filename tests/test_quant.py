@@ -85,7 +85,8 @@ def test_quant_param_tree_identical_and_forward(quant, small_model_io):
     if "static" in quant:
         _, upd = mq.apply(variables, img, lab, msk, train=False, mutable=["quant_scales"])
         assert all(
-            float(s) > 0 for s in jax.tree_util.tree_leaves(upd["quant_scales"])
+            float(np.asarray(s).max()) > 0
+            for s in jax.tree_util.tree_leaves(upd["quant_scales"])
         ), "calibration must observe a positive absmax on every quantized conv"
         variables = dict(variables, **upd)
     res = mq.apply(variables, img, lab, msk, train=False)
