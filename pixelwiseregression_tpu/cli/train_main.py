@@ -231,13 +231,14 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
     best_epoch, best_error = 0, float("inf")
     rng = jax.random.PRNGKey(seed)
     step_count = 0
-    t0 = time.time()
     viz_batch = None
 
     profile_dir = getattr(args, "profile", None)
 
     for epoch in range(args.epoch):
         # ---- train ----
+        t0 = time.time()
+        epoch_steps = 0
         for batch in train_loader:
             batch.pop("count", None)
             batch = shard_batch(batch, mesh)
@@ -253,6 +254,8 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
                 print(f"profile trace written to {profile_dir}")
                 profile_dir = None
             step_count += 1
+            epoch_steps += 1
+        train_elapsed = time.time() - t0
         if step_count == 0:
             raise RuntimeError(
                 f"no training batches: {len(trainset.lines)} samples < "
@@ -283,12 +286,13 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
         val_errs = val_errs / max(n_total, 1.0)
         val_losses = val_losses / max(n_batches, 1)
 
-        elapsed = time.time() - t0
-        fps = step_count * args.batch_size / elapsed
+        # per-epoch train-phase throughput (epoch 0 includes the one-time
+        # jit compile, so later epochs are the steady-state number)
+        fps = epoch_steps * args.batch_size / max(train_elapsed, 1e-9)
         print(
             f"epoch {epoch}: train_loss {train_loss:.5f}  "
             f"val mean-mm {np.array2string(val_errs, precision=3)}  "
-            f"({fps:.0f} samples/s)"
+            f"({fps:.1f} samples/s)"
         )
 
         if viz_batch is not None:
