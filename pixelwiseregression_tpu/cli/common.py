@@ -129,6 +129,9 @@ def make_test_parser(dataset_default: str = "MSRA", msra: bool = False,
     p.add_argument("--gpu_id", type=str, default="0")
     p.add_argument("--num_workers", type=int, default=9999)
     p.add_argument("--seed", type=str, default="final")
+    p.add_argument("--skip_bad_samples", action="store_true",
+                   help="warn and drop undecodable test samples instead of "
+                        "aborting (test lists are never validity-checked)")
     add_tpu_args(p, decoder_default="xla")
     return p
 

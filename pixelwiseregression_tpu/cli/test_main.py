@@ -95,7 +95,9 @@ def run_inference(args, dataset_name: str, fullregression: bool = False, subject
         )
 
     loader = Loader(testset, args.batch_size, shuffle=False, drop_last=False,
-                    num_workers=resolve_num_workers(args.num_workers))
+                    num_workers=resolve_num_workers(args.num_workers),
+                    on_error="skip" if getattr(args, "skip_bad_samples", False)
+                    else "raise")
 
     quant = model_kw.get("quant")
     if quant and "static" in quant:

@@ -17,6 +17,7 @@ from __future__ import annotations
 import queue
 import random
 import threading
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
@@ -51,13 +52,22 @@ class Loader:
         num_workers: int = 8,
         seed: int = 0,
         lines: Optional[List[str]] = None,
+        on_error: str = "raise",
     ):
+        """``on_error``: 'raise' (default — reference-compatible: train/val
+        index lists are pre-filtered by the dataset check, so a decode
+        failure is a real bug) or 'skip' (warn and drop the sample — for
+        unfiltered test/serving inputs where one corrupt file must not kill
+        the run; reference test lists are never validity-checked,
+        datasets.py:467-469)."""
+        assert on_error in ("raise", "skip")
         self.source = source
         self.lines = list(lines if lines is not None else source.lines)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
+        self.on_error = on_error
         self._rng = random.Random(seed)
         self._epoch = 0
 
@@ -86,17 +96,42 @@ class Loader:
 
         batch_fn = getattr(self.source, "batch_records", None)
 
+        def record_or_skip(i):
+            try:
+                return self.source.record(self.lines[i])
+            except Exception as e:
+                if self.on_error == "skip":
+                    warnings.warn(
+                        f"skipping undecodable sample {self.lines[i]!r}: "
+                        f"{type(e).__name__}: {e}"
+                    )
+                    return None
+                raise
+
         def produce():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     for idxs in batches:
                         if batch_fn is not None:
                             # native (GIL-free, internally threaded) batch decode
-                            recs = batch_fn([self.lines[i] for i in idxs])
+                            try:
+                                recs = batch_fn([self.lines[i] for i in idxs])
+                            except Exception:
+                                if self.on_error != "skip":
+                                    raise
+                                # one bad file fails the whole native batch —
+                                # redo per-sample so only the bad ones drop
+                                recs = [
+                                    r for r in pool.map(record_or_skip, idxs)
+                                    if r is not None
+                                ]
                         else:
-                            recs = list(
-                                pool.map(lambda i: self.source.record(self.lines[i]), idxs)
-                            )
+                            recs = [
+                                r for r in pool.map(record_or_skip, idxs)
+                                if r is not None
+                            ]
+                        if not recs:
+                            continue  # every sample in the batch was bad
                         batch, count = stack_records(recs, pad_to=bs)
                         batch["count"] = np.int32(count)
                         out_q.put(batch)

@@ -46,6 +46,33 @@ def test_loader_surfaces_decode_errors():
         list(loader)
 
 
+def test_loader_skip_policy_drops_bad_samples():
+    """on_error='skip': corrupt samples are warned about and dropped; good
+    samples still flow (unfiltered test/serving inputs must not die on one
+    bad file)."""
+    import numpy as np
+
+    from pixelwiseregression_tpu.data.loader import Loader
+
+    class FlakySource:
+        lines = [f"s{i}" for i in range(6)]
+
+        def record(self, line):
+            if line in ("s1", "s4"):
+                raise IOError(f"cannot decode {line}")
+            return {"x": np.full(3, float(line[1:]))}
+
+    with pytest.warns(UserWarning, match="skipping undecodable"):
+        batches = list(Loader(FlakySource(), batch_size=2, num_workers=2,
+                              on_error="skip"))
+    got = sorted(
+        float(b["x"][i, 0]) for b in batches for i in range(int(b["count"]))
+    )
+    assert got == [0.0, 2.0, 3.0, 5.0]
+    # every yielded batch is padded to the fixed batch size
+    assert all(b["x"].shape[0] == 2 for b in batches)
+
+
 def test_instance_norm_custom_vjp_matches_autodiff():
     from pixelwiseregression_tpu.models.layers import _instance_norm
 
