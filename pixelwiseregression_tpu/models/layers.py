@@ -172,7 +172,7 @@ class Conv(nn.Module):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _instance_norm(x32, scale, bias, eps):
+def _instance_norm(x, scale, bias, eps):
     """Instance norm core on f32 NHWC with a hand-written backward.
 
     Forward: anchor-shifted one-pass statistics (see `_instance_norm_fwd`) —
@@ -186,13 +186,18 @@ def _instance_norm(x32, scale, bias, eps):
     computed with mean(g) and mean(g*xhat) fused into ONE pass over (g, x)
     — jax's autodiff of the forward routes gradients separately through the
     E[x], E[x^2] and affine branches, re-reading the activation multiple
-    times. Residuals are x plus the tiny per-(B,C) stats.
+    times. Residuals are x IN ITS ORIGINAL DTYPE (bf16 under mixed
+    precision — halves the backward's re-read bandwidth of every
+    activation; ~100 norms dominate the flat train-step profile) plus the
+    tiny per-(B,C) f32 stats. Inputs may be any float dtype; stats and the
+    returned y are f32.
     """
-    y, _ = _instance_norm_fwd(x32, scale, bias, eps)
+    y, _ = _instance_norm_fwd(x, scale, bias, eps)
     return y
 
 
-def _instance_norm_fwd(x32, scale, bias, eps):
+def _instance_norm_fwd(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
     # Anchor-shifted one-pass statistics: var(x) = E[(x-c)^2] - E[x-c]^2 for
     # any constant c. The raw one-pass form (c=0) cancels catastrophically on
     # near-constant channels — depth crops are mostly exact zeros outside the
@@ -213,15 +218,18 @@ def _instance_norm_fwd(x32, scale, bias, eps):
     a = inv * scale
     b = bias - mean * a
     y = x32 * a + b
-    return y, (x32, mean, inv, scale)
+    return y, (x, mean, inv, scale)
 
 
 def _instance_norm_bwd(eps, res, g):
-    x32, mean, inv, scale = res
+    x, mean, inv, scale = res
+    x32 = x.astype(jnp.float32)
     xhat = (x32 - mean) * inv
     mg = jnp.mean(g, axis=(1, 2), keepdims=True)
     mgx = jnp.mean(g * xhat, axis=(1, 2), keepdims=True)
-    dx = (inv * scale) * (g - mg - xhat * mgx)
+    # cotangent dtype must match the primal x (bf16 under mixed precision —
+    # the consuming conv-backward casts to bf16 for the MXU anyway)
+    dx = ((inv * scale) * (g - mg - xhat * mgx)).astype(x.dtype)
     dscale = jnp.sum(g * xhat, axis=(0, 1, 2))
     dbias = jnp.sum(g, axis=(0, 1, 2))
     return dx, dscale, dbias
@@ -246,7 +254,10 @@ class InstanceNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        y = _instance_norm(x.astype(jnp.float32), scale, bias, self.epsilon)
+        # pass x in its native dtype: the custom VJP stores it as the
+        # residual, so bf16 activations are re-read at half the bandwidth
+        # on the backward pass
+        y = _instance_norm(x, scale, bias, self.epsilon)
         return y.astype(self.dtype)
 
 
