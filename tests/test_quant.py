@@ -125,3 +125,64 @@ def test_cli_quant_plumbing():
     assert kw["quant"] == "int8"
     args = p.parse_args([])
     assert model_kwargs_from_args(args, joints=14)["quant"] is None
+
+
+def test_int8_static_accuracy_on_trained_batchnorm_model():
+    """Accuracy gate for the serving config that actually profits from int8
+    (batch norm folds to a constant affine at inference — PERF.md): train a
+    tiny model briefly, then int8_static_all with multi-batch per-channel
+    calibration must track the f32 uvd closely. Catches calibration/scale
+    regressions (e.g. the old single-batch scalar absmax)."""
+    import optax
+
+    rng = np.random.RandomState(0)
+    b, ims, ls, joints = 16, 32, 16, 5
+    img = jnp.asarray(rng.rand(b, ims, ims, 1) * 0.5, jnp.float32)
+    label = jnp.asarray(rng.rand(b, ls, ls, 1) * 0.5, jnp.float32)
+    mask = jnp.asarray((rng.rand(b, ls, ls, 1) > 0.3), jnp.float32)
+    uvd_t = jnp.asarray(rng.uniform(-0.3, 0.3, (b, joints, 3)), jnp.float32)
+
+    kw = dict(joints=joints, stage=1, label_size=ls, features=16, level=1,
+              norm_method="batch", heatmap_method="softmax", decoder="xla")
+    model = PixelwiseRegression(**kw)
+    variables = model.init(jax.random.PRNGKey(0), img, label, mask, train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, bs, opt_state):
+        def loss_fn(p):
+            out, newv = model.apply(
+                {"params": p, "batch_stats": bs}, img, label, mask,
+                train=True, mutable=["batch_stats"])
+            uvd = out[-1][2]
+            return jnp.mean(jnp.sum((uvd - uvd_t) ** 2, -1)), newv["batch_stats"]
+        (l, nbs), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, nopt = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, up), nbs, nopt, l
+
+    for _ in range(40):
+        params, bs, opt_state, loss = step(params, bs, opt_state)
+    assert np.isfinite(float(loss))
+
+    trained = {"params": params, "batch_stats": bs}
+    uvd_f32 = np.asarray(model.apply(trained, img, label, mask, train=False)[-1][2])
+
+    mq = PixelwiseRegression(quant="int8_static_all", **kw)
+    _, upd = mq.apply(trained, img, label, mask, train=False,
+                      mutable=["quant_scales"])
+    qvars = dict(trained, **upd)
+    # second calibration batch keeps the running per-channel max honest
+    _, upd2 = mq.apply(qvars, img[::-1] * 1.1, label, mask, train=False,
+                       mutable=["quant_scales"])
+    qvars = dict(qvars, **upd2)
+    uvd_q = np.asarray(mq.apply(qvars, img, label, mask, train=False)[-1][2])
+
+    d = np.abs(uvd_q - uvd_f32)
+    # normalized units: u/v in [0,1]-ish crop coords, d in cube units.
+    # 0.02 normalized ~ 1-2 px / a few mm — gross-regression bound for a
+    # tiny 40-step model; the real-mm gate runs on the TPU fixture ckpt.
+    assert d.max() < 0.02, f"int8_static_all drifted: max {d.max():.4f}"
+    assert d.mean() < 0.005, f"int8_static_all drifted: mean {d.mean():.4f}"
