@@ -44,6 +44,8 @@ class Predictor:
     _infer: object = None
     _calibrate: object = None
     _calib_left: int = 4  # predict() batches used for static int8 calibration
+    _mesh: object = None
+    _batch_sharding: object = None
 
     @classmethod
     def from_checkpoint(
@@ -61,7 +63,13 @@ class Predictor:
         decoder: str = "xla",
         dtype=None,
         quant: Optional[str] = None,
+        data_parallel: bool = False,
     ) -> "Predictor":
+        """``data_parallel=True`` serves over ALL visible chips: weights are
+        replicated on a 1-D ('data',) mesh and each request batch is sharded
+        on axis 0 — same pjit program as training's data parallelism
+        (parallel/mesh.py), so throughput scales with the slice size.
+        ``batch_size`` must divide by the device count."""
         spec = SPECS[dataset]
 
         # honor the architecture stored in the checkpoint (reference .pt
@@ -95,9 +103,24 @@ class Predictor:
             train=False,
         )
         ckpt = load_checkpoint(path, params_template=template["params"])
-        variables = {"params": jax.device_put(ckpt["params"])}
+        mesh = bsh = None
+        if data_parallel:
+            from pixelwiseregression_tpu.parallel.mesh import (
+                batch_sharding, make_mesh, replicated,
+            )
+
+            mesh = make_mesh()
+            n_dev = mesh.devices.size
+            assert batch_size % n_dev == 0, (
+                f"batch_size {batch_size} must divide over {n_dev} devices"
+            )
+            bsh = batch_sharding(mesh)
+            put = lambda t: jax.device_put(t, replicated(mesh))
+        else:
+            put = jax.device_put
+        variables = {"params": put(ckpt["params"])}
         if ckpt["batch_stats"]:
-            variables["batch_stats"] = jax.device_put(ckpt["batch_stats"])
+            variables["batch_stats"] = put(ckpt["batch_stats"])
 
         cfg = PreprocessConfig(
             fx=spec.camera.fx, fy=spec.camera.fy,
@@ -105,7 +128,7 @@ class Predictor:
             image_size=image_size, label_size=label_size,
         )
         self = cls(model=model, variables=variables, cfg=cfg, spec=spec,
-                   batch_size=batch_size)
+                   batch_size=batch_size, _mesh=mesh, _batch_sharding=bsh)
 
         @jax.jit
         def infer(variables, batch):
@@ -166,6 +189,9 @@ class Predictor:
             )
         batch, count = stack_records(records, pad_to=self.batch_size)
         batch.pop("weight")
+        if self._batch_sharding is not None:
+            batch = {k: jax.device_put(v, self._batch_sharding)
+                     for k, v in batch.items()}
         if self._calibrate is not None and self._calib_left > 0:
             self.variables = dict(self.variables, **self._calibrate(self.variables, batch))
             self._calib_left -= 1

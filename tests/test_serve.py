@@ -97,3 +97,36 @@ def test_predictor_static_quant_autocalibrates(tmp_path):
     # second call must reuse the calibrated scales (deterministic)
     outq2 = pq.predict(frames, coms)
     np.testing.assert_allclose(outq2["uvd"], outq["uvd"], rtol=1e-6, atol=1e-6)
+
+
+def test_predictor_data_parallel_matches_single_chip(tmp_path):
+    """data_parallel=True shards each request over the 8-device mesh and must
+    produce the single-device results (weights replicated, batch on axis 0)."""
+    model = PixelwiseRegression(joints=21, stage=1, label_size=32, features=16, level=1)
+    v = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 32, 32, 1)), jnp.zeros((1, 32, 32, 1)),
+        train=False,
+    )
+    ckpt = str(tmp_path / "MSRA_dp_final.ckpt")
+    save_checkpoint(ckpt, params=jax.device_get(v["params"]))
+
+    kw = dict(stages=1, features=16, level=1, label_size=32)
+    single = Predictor.from_checkpoint(ckpt, "MSRA", batch_size=8, **kw)
+    dp = Predictor.from_checkpoint(ckpt, "MSRA", batch_size=8,
+                                   data_parallel=True, **kw)
+    assert dp._mesh.devices.size == 8
+
+    rng = np.random.RandomState(1)
+    frames = np.stack([
+        _blob_frame(150 + rng.randint(0, 30), 110 + rng.randint(0, 20), 390 + i * 5)
+        for i in range(5)  # 5 of 8: exercises padding across shards too
+    ])
+    coms = np.array([[float(np.argmax(frames[i].max(0))), 120.0, 400.0]
+                     for i in range(5)])
+    coms = np.array([[160.0, 120.0, 400.0]] * 5) + rng.uniform(-5, 5, (5, 3))
+
+    out_s = single.predict(frames, coms)
+    out_dp = dp.predict(frames, coms)
+    np.testing.assert_allclose(out_dp["uvd"], out_s["uvd"], atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(out_dp["xyz"], out_s["xyz"], atol=1e-3, rtol=1e-4)
