@@ -148,6 +148,15 @@ def main():
 
     fps = b / dt
 
+    # Chip-health reference: a fixed bf16 matmul loop whose healthy-chip
+    # number is known (~180 TFLOP/s measured round 1; the shared tunnel
+    # chip has been observed delivering as little as 68). Reported so a
+    # low fps reading can be attributed to chip contention vs the code.
+    try:
+        chip_tflops = _chip_health_tflops(jax, jnp, lax, np)
+    except Exception:
+        chip_tflops = None
+
     qtag = "" if args.quant == "none" else f"_{args.quant}"
     ntag = "" if args.norm_method == "instance" else f"_{args.norm_method}norm"
     # headline line FIRST so it is captured even if the (long-compiling)
@@ -158,6 +167,7 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 10000.0, 4),
         "engine": engine,
+        "chip_matmul_tflops": chip_tflops,
     }), flush=True)
 
     if args.train:
@@ -176,6 +186,28 @@ def main():
             print(json.dumps({"metric": "train_fps_nyu_stage2_raw640x480",
                               "error": f"{type(e).__name__}: {e}"[:200]}),
                   flush=True)
+
+
+def _chip_health_tflops(jax, jnp, lax, np):
+    """Fixed bf16 matmul-loop probe (tools/chip_health.py): effective
+    TFLOP/s on [256,2048]x[2048,2048] chained 2000x inside one jit."""
+    x = jnp.asarray(np.random.RandomState(0).randn(256, 2048), jnp.bfloat16)
+    w = jnp.asarray(np.random.RandomState(1).randn(2048, 2048), jnp.bfloat16)
+
+    @jax.jit
+    def run(x, w):
+        def body(acc, _):
+            return (acc @ w).astype(jnp.bfloat16), None
+        y, _ = lax.scan(body, x, None, length=2000)
+        return jnp.sum(y.astype(jnp.float32))
+
+    float(run(x, w))
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run(x, w))
+        best = min(best, time.perf_counter() - t0)
+    return round(2 * 256 * 2048 * 2048 * 2000 / best / 1e12, 1)
 
 
 def bench_train(args):
