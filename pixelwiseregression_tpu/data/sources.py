@@ -152,28 +152,52 @@ def _native():
     return native if native.available() else None
 
 
-def load_png16(path: str) -> np.ndarray:
+def _use_native_png() -> bool:
+    return os.environ.get("PWR_NATIVE_PNG", "0") == "1"
+
+
+def load_png16(path: str, shape=None) -> np.ndarray:
     """16-bit grayscale PNG -> depth in mm, replicating
     ``plt.imread(path) * 65535`` float32 rounding (datasets.py:635, 940).
-    PNG decode via PIL (C); the scale conversion runs in the native library
-    when available (bit-identical, numpy fallback otherwise)."""
+
+    With ``shape=(h, w)``, ``PWR_NATIVE_PNG=1`` and the native library
+    available the WHOLE decode (zlib inflate + unfilter + scale) runs in C++
+    (bit-identical, golden-tested vs PIL). zlib inflate dominates either
+    path, so this only pays on many-core hosts via the batch API
+    (native.png_decode_depth_batch); default stays PIL + native scale."""
+    nat = _native()
+    if nat is not None and shape is not None and _use_native_png():
+        out, status = nat.png_decode_depth_batch(
+            [path], nat.PNG_MODE_GRAY16, shape[0], shape[1], num_threads=1
+        )
+        if status[0] == 0:
+            return out[0]
     from PIL import Image
 
     raw = np.asarray(Image.open(path))
-    nat = _native()
     if nat is not None and raw.dtype == np.uint16:
         return nat.png16_scale_batch(raw[None], num_threads=1)[0]
     return (raw.astype(np.float32) / 65535.0) * 65535.0
 
 
-def load_png_nyu(path: str) -> np.ndarray:
+def load_png_nyu(path: str, shape=None) -> np.ndarray:
     """NYU RGB-packed depth: ``(g*256 + b)*255`` on plt.imread's [0,1] floats
-    (reference: datasets.py:809-810), replicated in float32. Unpacking runs
-    in the native library when available (bit-identical, numpy fallback)."""
+    (reference: datasets.py:809-810), replicated in float32.
+
+    With ``shape=(h, w)`` and ``PWR_NATIVE_PNG=1`` the whole decode (zlib
+    inflate + unfilter + pack) runs in the native library (see load_png16's
+    note on when that pays); default is PIL + native pack (bit-identical,
+    numpy fallback)."""
+    nat = _native()
+    if nat is not None and shape is not None and _use_native_png():
+        out, status = nat.png_decode_depth_batch(
+            [path], nat.PNG_MODE_NYU_RGB, shape[0], shape[1], num_threads=1
+        )
+        if status[0] == 0:
+            return out[0]
     from PIL import Image
 
     raw = np.asarray(Image.open(path))
-    nat = _native()
     if nat is not None and raw.dtype == np.uint8 and raw.ndim == 3 and raw.shape[2] == 3:
         return nat.nyu_pack_batch(raw[None], num_threads=1)[0]
     g = raw[:, :, 1].astype(np.float32) / 255.0
@@ -502,7 +526,7 @@ class ICVLSource(HandSource):
 
     def load_raw(self, text):
         path, joint_uvd = decode_line(text)  # ICVL labels are already uvd
-        frame = load_png16(path).astype(np.float64)
+        frame = load_png16(path, shape=(self.spec.frame_h, self.spec.frame_w)).astype(np.float64)
         if self.dataset in ("val", "test"):
             seq, idx = re.findall(r"test_seq_(\d)/image_(\d+)", path)[0]
             index = int(idx) + (702 if int(seq) == 2 else 0)
@@ -565,7 +589,7 @@ class NYUSource(HandSource):
 
     def load_raw(self, text):
         path, joint_uvd = decode_line(text)  # NYU labels are uvd
-        frame = load_png_nyu(path).astype(np.float64)
+        frame = load_png_nyu(path, shape=(self.spec.frame_h, self.spec.frame_w)).astype(np.float64)
         cube = self.cube_size
         index = int(re.findall(r"depth_1_(\d+)", path)[0]) - 1
         if self.dataset in ("val", "test"):
@@ -620,13 +644,15 @@ class HAND17Source(HandSource):
         if self.dataset != "test":
             path, joint_xyz = decode_line(text)
             joint_uvd = self.camera.xyz2uvd(joint_xyz)
-            frame = load_png16(os.path.join(self.path, "training", "images", path))
+            frame = load_png16(os.path.join(self.path, "training", "images", path),
+                               shape=(self.spec.frame_h, self.spec.frame_w))
             index = int(re.findall(r"image_D(\d+)", path)[0]) - 1
             com = self.train_centers[index].astype(np.float64)
         else:
             path = text.strip().split()[0]
             joint_uvd = None
-            frame = load_png16(os.path.join(self.path, "frame", "images", path))
+            frame = load_png16(os.path.join(self.path, "frame", "images", path),
+                               shape=(self.spec.frame_h, self.spec.frame_w))
             index = int(re.findall(r"image_D(\d+)", path)[0]) - 1
             com = self.test_centers[index].astype(np.float64)
         bbox = load_bbox(self.spec, com, cube)
@@ -639,7 +665,8 @@ class HAND17Source(HandSource):
         parts = text.strip().split()
         path = parts[0]
         ustart, vstart, du, dv = map(float, parts[1:])
-        frame = load_png16(os.path.join(self.path, "frame", "images", path)).astype(np.float64)
+        frame = load_png16(os.path.join(self.path, "frame", "images", path),
+                           shape=(self.spec.frame_h, self.spec.frame_w)).astype(np.float64)
         mm = np.zeros_like(frame)
         mm[int(vstart) : int(vstart + dv), int(ustart) : int(ustart + du)] = 1
         frame = frame * mm

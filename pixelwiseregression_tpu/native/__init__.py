@@ -27,7 +27,7 @@ _build_failed = False
 def _build() -> bool:
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-o", _LIB + ".tmp", _SRC, "-lpthread",
+        "-o", _LIB + ".tmp", _SRC, "-lpthread", "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
@@ -61,6 +61,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.png16_scale_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+        lib.png_decode_depth_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
         ]
         _lib = lib
         return lib
@@ -124,3 +130,31 @@ def png16_scale_batch(raw16: np.ndarray, num_threads: int = 0) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads,
     )
     return out
+
+
+PNG_MODE_NYU_RGB = 0      # 8-bit RGB(A), depth = (g/255*256 + b/255)*255
+PNG_MODE_GRAY16 = 1       # 16-bit grayscale, depth = (v/65535)*65535
+
+
+def png_decode_depth_batch(
+    paths: List[str], mode: int, h: int, w: int, num_threads: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """FULL native PNG decode (zlib inflate + unfilter) of dataset depth
+    frames -> (depth [n,h,w] f32, status [n] i32; 0 = ok). Nonzero status
+    (interlaced / unexpected layout / corrupt file) means the caller should
+    fall back to the PIL path for that file."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    n = len(paths)
+    if num_threads <= 0:
+        num_threads = min(n, os.cpu_count() or 1)
+    out = np.empty((n, h, w), np.float32)
+    status = np.empty(n, np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.png_decode_depth_batch(
+        c_paths, n, mode, h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    return out, status

@@ -88,3 +88,53 @@ def test_source_batch_records_uses_native(tmp_path):
         np.testing.assert_allclose(a["frame"], b["frame"], rtol=1e-6)
         np.testing.assert_allclose(a["com"], b["com"], rtol=1e-6)
         assert a["box_size"] == b["box_size"]
+
+
+def test_native_png_decode_matches_pil(tmp_path, monkeypatch):
+    monkeypatch.setenv("PWR_NATIVE_PNG", "1")  # loader uses the full native decode
+    """Full native PNG decode (zlib inflate + unfilter) must be bit-identical
+    to the PIL path for both dataset formats — across all PNG row filters
+    (PIL's encoder picks adaptively on textured content)."""
+    from PIL import Image
+
+    from pixelwiseregression_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+    rng = np.random.RandomState(0)
+    h, w = 120, 160
+
+    # NYU-style RGB with depth packed in (G,B) + smooth regions (exercises
+    # Sub/Up/Average/Paeth filters)
+    depth = (rng.rand(h, w) * 2000).astype(np.uint16)
+    depth[20:60, 30:90] = 700  # constant block -> filter variety
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[:, :, 1] = (depth // 256).astype(np.uint8)
+    rgb[:, :, 2] = (depth % 256).astype(np.uint8)
+    p_rgb = str(tmp_path / "nyu.png")
+    Image.fromarray(rgb).save(p_rgb)
+
+    from pixelwiseregression_tpu.data.sources import load_png16, load_png_nyu
+
+    ref = load_png_nyu(p_rgb)                 # PIL + native pack
+    out = load_png_nyu(p_rgb, shape=(h, w))   # full native
+    np.testing.assert_array_equal(out, ref)
+
+    # 16-bit grayscale (ICVL/HAND17 style)
+    g16 = (rng.rand(h, w) * 65535).astype(np.uint16)
+    g16[10:50, 10:50] = 400
+    p_g16 = str(tmp_path / "g16.png")
+    Image.fromarray(g16).save(p_g16)
+    ref = load_png16(p_g16)
+    out = load_png16(p_g16, shape=(h, w))
+    np.testing.assert_array_equal(out, ref)
+
+    # wrong expected shape / corrupt file -> clean PIL fallback, not garbage
+    out_fb = load_png16(p_g16, shape=(h + 2, w))
+    np.testing.assert_array_equal(out_fb, ref)
+    bad = str(tmp_path / "bad.png")
+    with open(bad, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\nnot really a png")
+    dec, status = native.png_decode_depth_batch([bad], native.PNG_MODE_GRAY16, h, w)
+    assert status[0] != 0
