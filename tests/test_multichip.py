@@ -35,6 +35,26 @@ def test_dryrun_bootstraps_devices_in_driver_env():
     assert "dryrun_multichip(8)" in proc.stdout
 
 
+def test_dryrun_pod_scale_32_devices():
+    """BASELINE.md names a v5e-32 pod config: the full data-parallel train
+    step must compile and execute over a 32-device mesh too (virtual CPU
+    devices, own subprocess — the suite's backend is pinned to 8)."""
+    import os
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    script = (
+        "import __graft_entry__ as ge\n"
+        "ge.dryrun_multichip(32)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "dryrun_multichip(32)" in proc.stdout
+
+
 def test_entry_compiles():
     import jax
     import __graft_entry__ as ge
