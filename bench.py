@@ -148,27 +148,35 @@ def main():
 
     fps = b / dt
 
-    # Chip-health reference: a fixed bf16 matmul loop whose healthy-chip
-    # number is known (~180 TFLOP/s measured round 1; the shared tunnel
-    # chip has been observed delivering as little as 68). Reported so a
-    # low fps reading can be attributed to chip contention vs the code.
-    try:
-        chip_tflops = _chip_health_tflops(jax, jnp, lax, np)
-    except Exception:
-        chip_tflops = None
-
     qtag = "" if args.quant == "none" else f"_{args.quant}"
     ntag = "" if args.norm_method == "instance" else f"_{args.norm_method}norm"
-    # headline line FIRST so it is captured even if the (long-compiling)
-    # train measurement below is cut off by a harness timeout
+    # headline line FIRST so it is captured even if anything below
+    # (health probe compile, long-compiling train measurement) is cut off
+    # by a harness timeout
     print(json.dumps({
         "metric": f"inference_fps_nyu_stage{args.stages}_128{qtag}{ntag}",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 10000.0, 4),
         "engine": engine,
-        "chip_matmul_tflops": chip_tflops,
     }), flush=True)
+
+    # Chip-health reference: a fixed bf16 matmul loop whose healthy-chip
+    # number is known (~180 TFLOP/s measured round 1; the shared tunnel
+    # chip has been observed delivering as little as 68). Reported so a
+    # low fps reading can be attributed to chip contention vs the code.
+    # TPU-only (it would take minutes on a CPU host) and after the
+    # headline print.
+    if jax.devices()[0].platform == "tpu":
+        try:
+            print(json.dumps({
+                "metric": "chip_health_matmul_tflops",
+                "value": _chip_health_tflops(jax, jnp, lax, np),
+                "unit": "TFLOP/s",
+                "healthy_reference": 180.0,
+            }), flush=True)
+        except Exception:
+            pass
 
     if args.train:
         try:
@@ -239,9 +247,13 @@ def bench_train(args):
         using_rotation=True, using_scale=True, using_shift=True,
     )
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    # match the training CLI's decoder default (pallas — its fused custom
+    # backward is the point; args.decoder only governs the inference bench)
+    train_decoder = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     model = PixelwiseRegression(
         joints=args.joints, stage=2, label_size=64, features=args.features,
         level=args.level, norm_method=args.norm_method, dtype=dtype,
+        decoder=train_decoder,
     )
     tx = make_optimizer(steps_per_epoch=100)
     sample = (

@@ -129,9 +129,15 @@ def run_inference(args, dataset_name: str, fullregression: bool = False, subject
     n = 0
     for batch in loader:
         count = int(batch.pop("count"))
+        # rows are positional (matched to the test list / HAND17 image names
+        # by index), so undecodable samples keep their row as NaN instead of
+        # shifting every following prediction onto the wrong frame
+        decode_ok = np.asarray(batch.pop("decode_ok", np.ones(count, bool)))[:count]
         out = np.asarray(infer(batch))[:count]
         if dataset_name == "HAND17":
             out = testset.camera.uvd2xyz(out)
+        out = out.astype(np.float64)
+        out[~decode_ok] = np.nan
         pre_uvd.append(out.reshape(-1, joints * 3))
         n += count
     elapsed = time.time() - start

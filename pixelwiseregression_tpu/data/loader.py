@@ -108,32 +108,45 @@ class Loader:
                     return None
                 raise
 
+        # skip mode must preserve POSITIONS: result rows are matched to the
+        # test list (and HAND17 submission image names) by index, so a bad
+        # sample is replaced by a placeholder copy of a good record and
+        # reported via the batch's `decode_ok` mask — never silently dropped
+        # (which would shift every following row onto the wrong frame).
+        last_good = [None]
+
         def produce():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     for idxs in batches:
-                        if batch_fn is not None:
+                        ok = None
+                        if batch_fn is not None and self.on_error != "skip":
                             # native (GIL-free, internally threaded) batch decode
-                            try:
-                                recs = batch_fn([self.lines[i] for i in idxs])
-                            except Exception:
-                                if self.on_error != "skip":
-                                    raise
-                                # one bad file fails the whole native batch —
-                                # redo per-sample so only the bad ones drop
-                                recs = [
-                                    r for r in pool.map(record_or_skip, idxs)
-                                    if r is not None
-                                ]
+                            recs = batch_fn([self.lines[i] for i in idxs])
                         else:
-                            recs = [
-                                r for r in pool.map(record_or_skip, idxs)
-                                if r is not None
-                            ]
-                        if not recs:
-                            continue  # every sample in the batch was bad
+                            if batch_fn is not None:
+                                try:
+                                    recs = batch_fn([self.lines[i] for i in idxs])
+                                except Exception:
+                                    recs = list(pool.map(record_or_skip, idxs))
+                            else:
+                                recs = list(pool.map(record_or_skip, idxs))
+                            ok = [r is not None for r in recs]
+                            good = next((r for r in recs if r is not None), None)
+                            if good is not None:
+                                last_good[0] = good
+                            elif last_good[0] is None:
+                                raise RuntimeError(
+                                    "no decodable sample found before batch "
+                                    f"{idxs[:2]}...; cannot build placeholders"
+                                )
+                            recs = [r if r is not None else last_good[0] for r in recs]
                         batch, count = stack_records(recs, pad_to=bs)
                         batch["count"] = np.int32(count)
+                        if self.on_error == "skip":
+                            batch["decode_ok"] = np.asarray(
+                                ok + [True] * (bs - count), np.bool_
+                            )
                         out_q.put(batch)
             except BaseException as e:  # surface decode failures to the consumer
                 out_q.put(e)

@@ -43,7 +43,8 @@ class Predictor:
     batch_size: int
     _infer: object = None
     _calibrate: object = None
-    _calib_left: int = 4  # predict() batches used for static int8 calibration
+    _calib_left: int = 4  # remaining predict() batches used for static int8
+    #                          calibration (quant_calib_batches, matches the CLI flag)
     _mesh: object = None
     _batch_sharding: object = None
 
@@ -64,6 +65,7 @@ class Predictor:
         dtype=None,
         quant: Optional[str] = None,
         data_parallel: bool = False,
+        quant_calib_batches: int = 4,
     ) -> "Predictor":
         """``data_parallel=True`` serves over ALL visible chips: weights are
         replicated on a 1-D ('data',) mesh and each request batch is sharded
@@ -128,7 +130,8 @@ class Predictor:
             image_size=image_size, label_size=label_size,
         )
         self = cls(model=model, variables=variables, cfg=cfg, spec=spec,
-                   batch_size=batch_size, _mesh=mesh, _batch_sharding=bsh)
+                   batch_size=batch_size, _mesh=mesh, _batch_sharding=bsh,
+                   _calib_left=quant_calib_batches)
 
         @jax.jit
         def infer(variables, batch):

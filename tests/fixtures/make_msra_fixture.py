@@ -7,6 +7,7 @@ import sys
 import numpy as np
 
 root = sys.argv[1]
+FRAMES = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 rng = np.random.RandomState(0)
 
 
@@ -29,7 +30,7 @@ FX = 241.42
 for p in range(9):
     gdir = os.path.join(root, f"P{p}", "1")
     os.makedirs(gdir, exist_ok=True)
-    n = 4
+    n = FRAMES
     rows = []
     for i in range(n):
         z = 400.0 + rng.uniform(-10, 10)

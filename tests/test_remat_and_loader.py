@@ -46,10 +46,10 @@ def test_loader_surfaces_decode_errors():
         list(loader)
 
 
-def test_loader_skip_policy_drops_bad_samples():
-    """on_error='skip': corrupt samples are warned about and dropped; good
-    samples still flow (unfiltered test/serving inputs must not die on one
-    bad file)."""
+def test_loader_skip_policy_keeps_positions():
+    """on_error='skip': corrupt samples become placeholder records flagged
+    by decode_ok — POSITIONS are preserved (result rows are matched to the
+    test list by index), and the run does not die on one bad file."""
     import numpy as np
 
     from pixelwiseregression_tpu.data.loader import Loader
@@ -65,12 +65,15 @@ def test_loader_skip_policy_drops_bad_samples():
     with pytest.warns(UserWarning, match="skipping undecodable"):
         batches = list(Loader(FlakySource(), batch_size=2, num_workers=2,
                               on_error="skip"))
-    got = sorted(
-        float(b["x"][i, 0]) for b in batches for i in range(int(b["count"]))
-    )
-    assert got == [0.0, 2.0, 3.0, 5.0]
-    # every yielded batch is padded to the fixed batch size
-    assert all(b["x"].shape[0] == 2 for b in batches)
+    # every sample keeps its row: 3 batches x 2 real samples
+    assert [int(b["count"]) for b in batches] == [2, 2, 2]
+    vals = [float(b["x"][i, 0]) for b in batches for i in range(2)]
+    oks = [bool(b["decode_ok"][i]) for b in batches for i in range(2)]
+    assert oks == [True, False, True, True, False, True]
+    good_positions = [v for v, ok in zip(vals, oks) if ok]
+    assert good_positions == [0.0, 2.0, 3.0, 5.0]
+    # placeholders are copies of a good record (decodable by the pipeline)
+    assert all(np.isfinite(b["x"]).all() for b in batches)
 
 
 def test_instance_norm_custom_vjp_matches_autodiff():

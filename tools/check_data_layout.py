@@ -89,7 +89,9 @@ def check_hand17(root, problems):
             "Training_Annotation.txt")
     _exists(problems, os.path.join(root, "frame", "BoundingBox.txt"),
             "frame/BoundingBox.txt")
-    _exists(problems, os.path.join(root, "images"), "training images dir")
+    # sources.py reads training frames from training/images (HAND17Source
+    # load_raw) and test frames from frame/images
+    _exists(problems, os.path.join(root, "training", "images"), "training/images dir")
     _exists(problems, os.path.join(root, "frame", "images"), "test frame images dir")
 
 

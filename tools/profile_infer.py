@@ -93,8 +93,6 @@ def main():
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
         tname = tid_names.get((e["pid"], e["tid"]), "")
-        if "XLA Op" in tname or "TensorCore" in tname or "Steps" in tname:
-            pass
         dur = e.get("dur", 0)
         name = e.get("name", "?")
         # keep only leaf op rows (XLA Ops thread); skip module/step rows

@@ -51,6 +51,8 @@ def main():
         joints=args.joints, stage=args.stages, label_size=64,
         features=args.features, level=args.level, norm_method="instance",
         dtype=jnp.bfloat16,
+        # training CLI default: pallas decoder (fused custom backward)
+        decoder="pallas" if jax.devices()[0].platform == "tpu" else "xla",
     )
     tx = make_optimizer(steps_per_epoch=100)
     sample = (jnp.zeros((2, 128, 128, 1)), jnp.zeros((2, 64, 64, 1)),
