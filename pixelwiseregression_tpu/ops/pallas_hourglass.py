@@ -289,7 +289,7 @@ def hourglass_fused(x, stacked, level: int, *, block_batch: int = 1,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=124 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, *wgt)
