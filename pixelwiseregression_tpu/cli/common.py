@@ -20,7 +20,10 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--label_size", type=int, default=64)
     p.add_argument("--kernel_size", type=int, default=7)
     p.add_argument("--sigmoid", type=float, default=1.5)
-    p.add_argument("--norm_method", type=str, default="instance", help="choose from batch and instance")
+    p.add_argument("--norm_method", type=str, default="instance",
+                   help="choose from batch, instance and instance_fast "
+                        "(one-pass stats: ~19%% faster serving, numerically "
+                        "unsafe on near-constant channels — not for parity)")
     p.add_argument("--stages", type=int, default=2)
     p.add_argument("--features", type=int, default=128)
     p.add_argument("--level", type=int, default=4)

@@ -197,28 +197,46 @@ def _instance_norm(x, scale, bias, eps):
 
 
 def _instance_norm_fwd(x, scale, bias, eps):
+    # Two-pass variance E[(x-mean)^2] — torch semantics and numerically
+    # robust. The one-pass E[x^2]-E[x]^2 form (round 1) cancels
+    # catastrophically on near-constant channels (dead-ReLU channels and
+    # depth-crop backgrounds are exactly that; the trained-checkpoint
+    # parity gate measured ~20 mm of drift from it). The extra activation
+    # read costs ~19% on the stage-1 inference headline (10.3k -> 8.3k fps);
+    # `norm_method='instance_fast'` keeps the one-pass form for serving
+    # paths that accept the parity caveat. A data-anchored one-pass variant
+    # (c = x[:,0,0,:]) was measured WORSE than two-pass (6.4k): the slice
+    # dependency stops XLA from fusing any of the stat reductions into the
+    # producing conv.
     x32 = x.astype(jnp.float32)
-    # Anchor-shifted one-pass statistics: var(x) = E[(x-c)^2] - E[x-c]^2 for
-    # any constant c. The raw one-pass form (c=0) cancels catastrophically on
-    # near-constant channels — depth crops are mostly exact zeros outside the
-    # hand, and the trained-checkpoint parity gate measured ~20 mm of drift
-    # from exactly this (rel-var error O(mean^2/var * eps)). The naive
-    # two-pass E[(x-mean)^2] fix costs a second full activation read and
-    # measured -19% on the stage-1 inference headline. Anchoring at one
-    # sample of the channel (c = x[:, 0, 0, :]) makes the cancellation term
-    # O((mean-c)^2/var) — benign for any realistic activation — while both
-    # reductions still fuse into the producing conv in ONE pass.
-    c = x32[:, :1, :1, :]
-    xc = x32 - c
-    m1 = jnp.mean(xc, axis=(1, 2), keepdims=True)
-    m2 = jnp.mean(jnp.square(xc), axis=(1, 2), keepdims=True)
-    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
-    mean = c + m1
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
     a = inv * scale
     b = bias - mean * a
     y = x32 * a + b
     return y, (x, mean, inv, scale)
+
+
+def _instance_norm_fwd_fast(x, scale, bias, eps):
+    # one-pass E[x]/E[x^2] stats, both fused by XLA into the producing conv
+    # (single activation read): the round-1 speed form. See
+    # `_instance_norm_fwd` for the robustness caveat.
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    mean_sq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    a = inv * scale
+    b = bias - mean * a
+    y = x32 * a + b
+    return y, (x, mean, inv, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _instance_norm_fast(x, scale, bias, eps):
+    y, _ = _instance_norm_fwd_fast(x, scale, bias, eps)
+    return y
 
 
 def _instance_norm_bwd(eps, res, g):
@@ -236,6 +254,7 @@ def _instance_norm_bwd(eps, res, g):
 
 
 _instance_norm.defvjp(_instance_norm_fwd, _instance_norm_bwd)
+_instance_norm_fast.defvjp(_instance_norm_fwd_fast, _instance_norm_bwd)
 
 
 class InstanceNorm(nn.Module):
@@ -248,6 +267,7 @@ class InstanceNorm(nn.Module):
 
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    fast: bool = False  # one-pass stats (see _instance_norm_fwd_fast caveat)
 
     @nn.compact
     def __call__(self, x):
@@ -257,14 +277,22 @@ class InstanceNorm(nn.Module):
         # pass x in its native dtype: the custom VJP stores it as the
         # residual, so bf16 activations are re-read at half the bandwidth
         # on the backward pass
-        y = _instance_norm(x, scale, bias, self.epsilon)
+        fn = _instance_norm_fast if self.fast else _instance_norm
+        y = fn(x, scale, bias, self.epsilon)
         return y.astype(self.dtype)
 
 
 def make_norm(method: str, dtype: Any = jnp.float32) -> Callable[..., nn.Module]:
-    """Factory matching the reference's norm selection (model.py:157-160)."""
+    """Factory matching the reference's norm selection (model.py:157-160).
+
+    ``instance_fast`` = InstanceNorm with one-pass statistics: ~19% faster
+    end-to-end (both stat reductions fuse into the producing conv) but
+    numerically unsafe on near-constant channels — serving opt-in, not for
+    checkpoint-parity work."""
     if method == "instance":
         return functools.partial(InstanceNorm, dtype=dtype)
+    if method == "instance_fast":
+        return functools.partial(InstanceNorm, dtype=dtype, fast=True)
     if method == "batch":
         return functools.partial(
             nn.BatchNorm,

@@ -101,15 +101,12 @@ def _instance_norm_relu(x, scale, bias, dtype):
     f32): an f32 elementwise apply would materialize 2x-sized temporaries
     of every @64 activation and OOM the 16 MB VMEM at level>=1."""
     x32 = x.astype(jnp.float32)
-    # anchor-shifted one-pass stats, matching models.layers._instance_norm
-    # (the unshifted one-pass form cancels catastrophically on near-constant
-    # background channels)
-    c = x32[:, :1, :1, :]
-    xc = x32 - c
-    m1 = jnp.mean(xc, axis=(1, 2), keepdims=True)
-    m2 = jnp.mean(jnp.square(xc), axis=(1, 2), keepdims=True)
-    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
-    mean = c + m1
+    # two-pass variance, matching models.layers._instance_norm (the
+    # one-pass form cancels catastrophically on near-constant background
+    # channels); inside the kernel x is VMEM-resident so the second read
+    # is cheap
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
     inv = jax.lax.rsqrt(var + _EPS)
     a = (inv * scale).astype(dtype)
     b = (bias - mean * (inv * scale)).astype(dtype)

@@ -16,4 +16,6 @@ best = 1e9
 for _ in range(3):
     t0 = time.perf_counter(); float(run(x, w)); best = min(best, time.perf_counter()-t0)
 fl = 2*256*2048*2048*2000
-print(f"matmul loop: {best*1e3:.1f} ms => {fl/best/1e12:.1f} TFLOP/s effective (healthy v5e: ~90+; degraded: proportionally less)")
+print(f"matmul loop: {best*1e3:.1f} ms => {fl/best/1e12:.1f} TFLOP/s effective "
+      f"(this CHAINED loop is latency-bound: ~68-70 on a healthy chip here — "
+      f"compare against that, not against the 197 TF peak)")
