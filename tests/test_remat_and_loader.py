@@ -98,8 +98,8 @@ def test_instance_norm_custom_vjp_matches_autodiff():
 
     y_c = _instance_norm(x, scale, bias, 1e-5)
     y_p = plain(x, scale, bias)
-    # forward: the in-tree anchor-shifted one-pass stats round differently
-    # from the plain textbook form by a few ulp
+    # forward: the in-tree two-pass stats round differently from the plain
+    # one-pass textbook form by a few ulp on well-conditioned inputs
     np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_p), rtol=1e-4, atol=1e-5)
 
     gc = jax.grad(lambda *a: loss(lambda x, s, b: _instance_norm(x, s, b, 1e-5), *a),
@@ -130,3 +130,32 @@ def test_fullregression_remat_gradients_match():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
         g0, g1,
     )
+
+
+def test_instance_fast_norm_variant():
+    """`--norm_method instance_fast` (one-pass stats, serving opt-in) must
+    run fwd+grad and agree with the precise default on well-conditioned
+    activations (they only diverge on near-constant channels)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from pixelwiseregression_tpu.models import PixelwiseRegression
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 32, 32, 1), jnp.float32)
+    lab = jnp.asarray(rng.randn(2, 16, 16, 1), jnp.float32)
+    msk = jnp.ones((2, 16, 16, 1), jnp.float32)
+    kw = dict(joints=5, stage=1, label_size=16, features=16, level=1)
+    m_p = PixelwiseRegression(norm_method="instance", **kw)
+    m_f = PixelwiseRegression(norm_method="instance_fast", **kw)
+    v = m_p.init(jax.random.PRNGKey(0), img, lab, msk, train=False)
+    uvd_p = np.asarray(m_p.apply(v, img, lab, msk, train=False)[-1][2])
+    uvd_f = np.asarray(m_f.apply(v, img, lab, msk, train=False)[-1][2])
+    np.testing.assert_allclose(uvd_f, uvd_p, atol=2e-4, rtol=1e-3)
+    g = jax.grad(lambda p: jnp.sum(
+        m_f.apply({"params": p}, img, lab, msk, train=True)[-1][2] ** 2
+    ))(v["params"])
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
