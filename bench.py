@@ -62,11 +62,13 @@ def main():
                              "hourglass Pallas kernel (models/infer_engine)."
                              " 'auto' uses it when the config supports it "
                              "on TPU, else falls back to model.apply")
-    parser.add_argument("--train", dest="train", action="store_true", default=True,
+    parser.add_argument("--train", dest="train", action="store_true", default=None,
                         help="also measure the fused train step (raw 480x640 "
                              "frames -> on-device preprocess+aug -> fwd/bwd "
                              "-> AdamW) and report it as 'train_fps' in the "
-                             "same JSON line")
+                             "same JSON line. Default: on for TPU, off on a "
+                             "CPU host (a batch-128 2-stage fwd/bwd takes "
+                             "minutes there)")
     parser.add_argument("--no_train", dest="train", action="store_false")
     parser.add_argument("--train_batch_size", type=int, default=128)
     args = parser.parse_args()
@@ -76,6 +78,9 @@ def main():
     from jax import lax
 
     from pixelwiseregression_tpu.models import PixelwiseRegression
+
+    if args.train is None:  # mirror the chip-health guard: TPU-only default
+        args.train = jax.devices()[0].platform == "tpu"
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     decoder = args.decoder

@@ -115,6 +115,7 @@ def run_inference(args, dataset_name: str, fullregression: bool = False, subject
             return upd
 
         it = iter(loader)
+        n_ran = 0
         for _ in range(n_calib):
             try:
                 b = next(it)
@@ -122,6 +123,22 @@ def run_inference(args, dataset_name: str, fullregression: bool = False, subject
                 break
             b.pop("count", None)
             variables = dict(variables, **calib_step(variables, b))
+            n_ran += 1
+        # zero calibration batches would leave quant_scales at 0 -> s_a
+        # clamped to 1e-12 -> every activation saturates to +-127: silently
+        # garbage predictions. Fail loudly instead.
+        if n_ran == 0:
+            raise RuntimeError(
+                "int8 static quantization needs >=1 calibration batch but "
+                "none ran (--quant_calib_batches=0 or empty dataset); "
+                "refusing to run inference with uncalibrated scales"
+            )
+        scales = jax.tree_util.tree_leaves(variables.get("quant_scales", {}))
+        if not scales or not all(float(jnp.max(s)) > 0 for s in scales):
+            raise RuntimeError(
+                "int8 static calibration produced empty/zero quant_scales — "
+                "check the calibration data"
+            )
 
     print("running on test dataset ......")
     pre_uvd = []

@@ -43,7 +43,14 @@ def _writer(log_name: str):
         from tensorboardX import SummaryWriter
 
         return SummaryWriter(os.path.join("logs", log_name))
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"tensorboardX unavailable ({type(e).__name__}: {e}) — training "
+            "continues WITHOUT TensorBoard logging (scalars/images dropped)"
+        )
+
         class _Null:
             def add_scalar(self, *a, **k): ...
             def add_scalars(self, *a, **k): ...

@@ -116,6 +116,21 @@ class Loader:
         last_good = [None]
 
         def produce():
+            # skip mode: a run of LEADING all-bad batches has no good record
+            # to build placeholders from yet — buffer them (in order) and
+            # flush once the first decodable sample appears. Emission order
+            # is preserved, so result-row positions stay aligned.
+            pending: list[tuple[list, list]] = []
+
+            def emit(recs, ok):
+                batch, count = stack_records(recs, pad_to=bs)
+                batch["count"] = np.int32(count)
+                if self.on_error == "skip":
+                    batch["decode_ok"] = np.asarray(
+                        ok + [True] * (bs - count), np.bool_
+                    )
+                out_q.put(batch)
+
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     for idxs in batches:
@@ -136,18 +151,19 @@ class Loader:
                             if good is not None:
                                 last_good[0] = good
                             elif last_good[0] is None:
-                                raise RuntimeError(
-                                    "no decodable sample found before batch "
-                                    f"{idxs[:2]}...; cannot build placeholders"
-                                )
+                                pending.append((recs, ok))
+                                continue
+                            for held_recs, held_ok in pending:
+                                emit([last_good[0]] * len(held_recs), held_ok)
+                            pending.clear()
                             recs = [r if r is not None else last_good[0] for r in recs]
-                        batch, count = stack_records(recs, pad_to=bs)
-                        batch["count"] = np.int32(count)
-                        if self.on_error == "skip":
-                            batch["decode_ok"] = np.asarray(
-                                ok + [True] * (bs - count), np.bool_
-                            )
-                        out_q.put(batch)
+                        emit(recs, ok)
+                    if pending:  # every sample in the dataset failed to decode
+                        raise RuntimeError(
+                            f"no decodable sample in the entire dataset "
+                            f"({len(pending)} all-bad batches buffered); "
+                            "cannot build placeholder records"
+                        )
             except BaseException as e:  # surface decode failures to the consumer
                 out_q.put(e)
             finally:

@@ -175,11 +175,11 @@ class Conv(nn.Module):
 def _instance_norm(x, scale, bias, eps):
     """Instance norm core on f32 NHWC with a hand-written backward.
 
-    Forward: anchor-shifted one-pass statistics (see `_instance_norm_fwd`) —
-    numerically equivalent to torch's two-pass variance on depth-crop-like
-    activations, while keeping both reductions fusable into the producing
-    conv in a single activation read; the affine is folded into one
-    multiply-add.
+    Forward: TWO-PASS variance ``E[(x-mean)^2]`` (torch semantics — see
+    `_instance_norm_fwd` for the measured option space; the one-pass
+    ``E[x^2]-E[x]^2`` form cancels catastrophically on near-constant
+    channels and lives behind ``fast=True`` / ``--norm_method
+    instance_fast``). The affine is folded into one multiply-add.
 
     Backward (custom): the standard layernorm-style form
         dx = scale*inv * (g - mean(g) - xhat * mean(g*xhat))

@@ -80,6 +80,55 @@ def test_engine_matches_model_apply_bf16():
     )
 
 
+def test_unit_engine_matches_model_apply():
+    """Per-unit fused engine (conv+instance-norm Pallas kernels): same
+    variables pytree, same outputs. min_res=4 forces the fused ResBlock
+    path at every level the tiny test model has; features=64 gives a
+    3-conv stem so the stem units run too."""
+    from pixelwiseregression_tpu.models.infer_engine import make_unit_fused_apply
+
+    model, variables, img, label, mask = _make(stage=2, features=64)
+    ref = model.apply(variables, img, label, mask, train=False)
+    fn = jax.jit(make_unit_fused_apply(model, variables, min_res=4))
+    out = fn(img, label, mask)
+    assert len(out) == len(ref) == 2
+    for s, ((hm_o, dm_o, uvd_o), (hm_r, dm_r, uvd_r)) in enumerate(zip(out, ref)):
+        map_tol = 1e-3 if s == 0 else 2e-2
+        np.testing.assert_allclose(np.asarray(uvd_o), np.asarray(uvd_r),
+                                   atol=5e-4 if s == 0 else 5e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(hm_o), np.asarray(hm_r),
+                                   atol=1e-4 if s == 0 else 1e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(dm_o), np.asarray(dm_r),
+                                   atol=map_tol, rtol=map_tol)
+
+
+def test_unit_engine_matches_model_apply_bf16():
+    from pixelwiseregression_tpu.models.infer_engine import make_unit_fused_apply
+
+    model, variables, img, label, mask = _make(dtype=jnp.bfloat16, level=1,
+                                               stage=1, features=64)
+    ref = model.apply(variables, img, label, mask, train=False)
+    fn = jax.jit(make_unit_fused_apply(model, variables, min_res=4))
+    out = fn(img, label, mask)
+    np.testing.assert_allclose(
+        np.asarray(out[0][2], np.float32), np.asarray(ref[0][2], np.float32),
+        atol=0.02, rtol=0.02,
+    )
+
+
+def test_unit_engine_rejects_unsupported():
+    from pixelwiseregression_tpu.models.infer_engine import make_unit_fused_apply
+
+    model, variables, *_ = _make(stage=1, level=1)
+    kw = dict(joints=model.joints, stage=1, label_size=16, features=32, level=1)
+    with pytest.raises(ValueError):
+        make_unit_fused_apply(PixelwiseRegression(norm_method="batch", **kw), variables)
+    with pytest.raises(ValueError):
+        make_unit_fused_apply(PixelwiseRegression(quant="int8", **kw), variables)
+    with pytest.raises(ValueError):
+        make_unit_fused_apply(PixelwiseRegression(kernel_size=5, **kw), variables)
+
+
 def test_engine_rejects_unsupported():
     model, variables, *_ = _make(stage=1, level=1)
     kw = dict(joints=model.joints, stage=1, label_size=16, features=32, level=1)

@@ -76,6 +76,51 @@ def test_loader_skip_policy_keeps_positions():
     assert all(np.isfinite(b["x"]).all() for b in batches)
 
 
+def test_loader_skip_policy_survives_leading_bad_batches():
+    """on_error='skip' with a RUN OF LEADING corrupt files spanning whole
+    batches: the loader buffers the all-bad batches until the first good
+    record appears, then emits them (in order) as flagged placeholders —
+    the run --skip_bad_samples was meant to protect must not die."""
+    import numpy as np
+
+    from pixelwiseregression_tpu.data.loader import Loader
+
+    class LeadingBadSource:
+        lines = [f"s{i}" for i in range(6)]
+
+        def record(self, line):
+            if line in ("s0", "s1", "s2"):  # batches 0 and half of 1 all-bad
+                raise IOError(f"cannot decode {line}")
+            return {"x": np.full(3, float(line[1:]))}
+
+    with pytest.warns(UserWarning, match="skipping undecodable"):
+        batches = list(Loader(LeadingBadSource(), batch_size=2, num_workers=2,
+                              on_error="skip"))
+    assert [int(b["count"]) for b in batches] == [2, 2, 2]
+    oks = [bool(b["decode_ok"][i]) for b in batches for i in range(2)]
+    assert oks == [False, False, False, True, True, True]
+    vals = [float(b["x"][i, 0]) for b in batches for i in range(2)]
+    assert vals[3:] == [3.0, 4.0, 5.0]  # good rows keep their positions
+    assert all(np.isfinite(b["x"]).all() for b in batches)
+
+
+def test_loader_skip_policy_all_bad_raises():
+    """If literally every sample fails to decode there is nothing to build
+    placeholders from — fail with a clear message, not a hang."""
+    from pixelwiseregression_tpu.data.loader import Loader
+
+    class AllBadSource:
+        lines = ["a", "b", "c"]
+
+        def record(self, line):
+            raise IOError(f"cannot decode {line}")
+
+    with pytest.warns(UserWarning, match="skipping undecodable"):
+        with pytest.raises(RuntimeError, match="no decodable sample"):
+            list(Loader(AllBadSource(), batch_size=2, num_workers=2,
+                        on_error="skip"))
+
+
 def test_instance_norm_custom_vjp_matches_autodiff():
     from pixelwiseregression_tpu.models.layers import _instance_norm
 
