@@ -57,11 +57,16 @@ def main():
                              "(instance norm's per-sample stats keep every "
                              "conv's epilogue on the VPU)")
     parser.add_argument("--engine", type=str, default="auto",
-                        choices=["auto", "fused", "flax"],
-                        help="'fused' = serving engine with the whole-"
-                             "hourglass Pallas kernel (models/infer_engine)."
-                             " 'auto' uses it when the config supports it "
-                             "on TPU, else falls back to model.apply")
+                        choices=["auto", "fused", "flax", "unit"],
+                        help="'unit' = per-unit fused conv+instance-norm "
+                             "Pallas kernels (make_unit_fused_apply); "
+                             "'fused' = whole-hourglass-kernel engine. "
+                             "'auto' uses the fastest measured supported "
+                             "config on TPU, else falls back to model.apply")
+    parser.add_argument("--min_res", type=int, default=32,
+                        help="unit engine: fuse hourglass ResBlocks at "
+                             "resolution >= this (below it XLA wins on "
+                             "launch overhead)")
     parser.add_argument("--train", dest="train", action="store_true", default=None,
                         help="also measure the fused train step (raw 480x640 "
                              "frames -> on-device preprocess+aug -> fwd/bwd "
@@ -111,7 +116,12 @@ def main():
         # measured configs (tracking in PERF.md); pass --engine fused to
         # measure the kernel path
         engine = "flax"
-    if engine == "fused":
+    if engine == "unit":
+        from pixelwiseregression_tpu.models.infer_engine import make_unit_fused_apply
+
+        unit_fn = make_unit_fused_apply(model, variables, min_res=args.min_res)
+        forward = lambda variables, im, la, ma: unit_fn(im, la, ma)
+    elif engine == "fused":
         from pixelwiseregression_tpu.models.infer_engine import make_fused_apply
 
         fused_fn = make_fused_apply(model, variables)

@@ -16,6 +16,8 @@ if __name__ == "__main__":
     parser.add_argument("--using_shift", action="store_true")
     parser.add_argument("--using_flip", action="store_true")
     parser.add_argument("--data_path", type=str, default=None)
+    parser.add_argument("--max_samples", type=int, default=None,
+                        help="stop after N samples (headless smoke runs)")
     args = parser.parse_args()
 
     import matplotlib.pyplot as plt
@@ -39,6 +41,7 @@ if __name__ == "__main__":
 
     loader = Loader(dataset, batch_size=1, shuffle=True, num_workers=1)
     key = jax.random.PRNGKey(0)
+    shown = 0
     for batch in loader:
         batch.pop("count")
         key, sub = jax.random.split(key)
@@ -57,3 +60,7 @@ if __name__ == "__main__":
         fig, ax = plt.subplots()
         ax.imshow(mask)
         plt.show()
+        plt.close("all")
+        shown += 1
+        if args.max_samples is not None and shown >= args.max_samples:
+            break

@@ -196,18 +196,104 @@ def _instance_norm(x, scale, bias, eps):
     return y
 
 
+def _comp_sum(x32, axes):
+    """Compensated sum over ``axes``: a variadic reduce whose carry is a
+    TwoSum (hi, lo) float pair — the running error of every partial add is
+    captured in ``lo``, so the result is accurate to ~2^-48 relative
+    (double-single precision) using only f32 hardware. Order-insensitive,
+    so XLA may reassociate/tile the reduction freely, and it remains an
+    ordinary reduce that fuses into its producer like a plain sum."""
+
+    def comb(acc, val):
+        h1, l1 = acc
+        h2, l2 = val
+        s = h1 + h2
+        z = s - h1
+        e = (h1 - (s - z)) + (h2 - z)  # exact error of the add (TwoSum)
+        return s, (l1 + l2) + e
+
+    zero = jnp.zeros((), jnp.float32)
+    return jax.lax.reduce(
+        (x32, jnp.zeros_like(x32)), (zero, zero), comb, axes
+    )
+
+
+def _two_prod(a):
+    """Dekker split square: returns (p, pe) with a*a = p + pe exactly
+    (f32-only; the 4097 split yields <=12-bit halves whose products are
+    exact in f32)."""
+    c = jnp.float32(4097.0) * a
+    big = c - (c - a)
+    small = a - big
+    p = a * a
+    pe = ((big * big - p) + 2.0 * big * small) + small * small
+    return p, pe
+
+
+def _instance_norm_fwd_comp(x, scale, bias, eps):
+    # COMPENSATED ONE-PASS statistics: two-pass-grade exactness from
+    # one-pass reductions. The plain one-pass E[x^2]-E[x]^2 (round 1,
+    # 10.3k fps) fails trained parity by ~20 mm because f32 representation
+    # + summation of E[x^2] carries ~eps*mean^2 of error (> the 1e-5 norm
+    # eps on depth-crop-like channels). This form fixes the NUMERICS:
+    #   * Sum(x), Sum(x^2) via TwoSum-carry reduce  -> ~2^-48 relative
+    #     (x is bf16-representable, so x^2 is EXACT in f32 per element)
+    #   * /N exact (H*W is a power of two for every supported size)
+    #   * mean^2 via a Dekker split square (exact product pair)
+    #   * E[x^2]-mean^2: the hi parts are within 2x of each other on the
+    #     dangerous near-constant channels, so their f32 subtraction is
+    #     EXACT (Sterbenz); all residual error rides in the lo terms.
+    # (verified against float64 on adversarial channels,
+    # tests/test_norm_numerics.py)
+    #
+    # but NOT the performance: measured on the head-unit chain (v5e),
+    # conv+norm+relu is 8.74 us/frame with this form vs 8.05 two-pass and
+    # 6.50 plain-one-pass — XLA's convert_reduce_fusion only fuses PLAIN
+    # sums into a conv's epilogue, so the variadic TwoSum reduce runs as
+    # its own full read of the activation (the same unfused pass two-pass
+    # pays for the var) plus ~7 VPU flops/element. Kept as a correctness
+    # reference / for backends whose reduce fusion improves.
+    x32 = x.astype(jnp.float32)
+    n = x.shape[1] * x.shape[2]
+    if n & (n - 1) != 0:
+        # the exact-/N argument needs n = 2^k (true for every supported
+        # size); odd spatial sizes fall back to the literal two-pass form
+        return _instance_norm_fwd(x, scale, bias, eps)
+    s1h, s1l = _comp_sum(x32, (1, 2))                    # [B, C] pairs
+    s2h, s2l = _comp_sum(jnp.square(x32), (1, 2))
+    inv_n = jnp.float32(1.0 / n)                         # exact: n = 2^k
+    mh, ml = s1h * inv_n, s1l * inv_n
+    e2h, e2l = s2h * inv_n, s2l * inv_n
+    p, pe = _two_prod(mh)
+    var = (e2h - p) + (e2l - (pe + 2.0 * mh * ml))
+    var = jnp.maximum(var, 0.0)[:, None, None, :]
+    mean = (mh + ml)[:, None, None, :]
+    inv = jax.lax.rsqrt(var + eps)
+    a = inv * scale
+    b = bias - mean * a
+    y = x32 * a + b
+    return y, (x, mean, inv, scale)
+
+
 def _instance_norm_fwd(x, scale, bias, eps):
-    # Two-pass variance E[(x-mean)^2] — torch semantics and numerically
-    # robust. The one-pass E[x^2]-E[x]^2 form (round 1) cancels
-    # catastrophically on near-constant channels (dead-ReLU channels and
-    # depth-crop backgrounds are exactly that; the trained-checkpoint
-    # parity gate measured ~20 mm of drift from it). The extra activation
-    # read costs ~19% on the stage-1 inference headline (10.3k -> 8.3k fps);
-    # `norm_method='instance_fast'` keeps the one-pass form for serving
-    # paths that accept the parity caveat. A data-anchored one-pass variant
-    # (c = x[:,0,0,:]) was measured WORSE than two-pass (6.4k): the slice
-    # dependency stops XLA from fusing any of the stat reductions into the
-    # producing conv.
+    # THE DEFAULT: two-pass variance E[(x-mean)^2] — torch semantics and
+    # numerically robust. The one-pass E[x^2]-E[x]^2 form (round 1) cancels
+    # catastrophically on near-constant channels (the trained-checkpoint
+    # parity gate measured ~20 mm of drift); the extra activation read it
+    # costs (~19% on the stage-1 headline, 10.3k -> 8.3k fps) was attacked
+    # in round 3 from every side and MEASURED irreducible on this chip:
+    #   * fused Pallas conv+norm units (ops/pallas_fused.py): per-unit VPU
+    #     glue (xm build + in-VMEM stats, ~2.3 us serialized against the
+    #     MXU) >= the var read they save — 8.4-8.6 vs XLA's 8.05 us/unit;
+    #   * merged whole-ResBlock / head-chain kernels: tie at best (11.6 vs
+    #     11.2); 128x128 shapes are Pallas-DMA-capped at ~200 GB/s;
+    #   * compensated one-pass stats (`_instance_norm_fwd_comp`): exact,
+    #     but the TwoSum reduce does not fuse into the conv -> same
+    #     unfused pass as two-pass, +VPU cost (8.74);
+    #   * anchored one-pass (c = x[:,0,0,:]): slice dependency stops ALL
+    #     stat fusion (~6.4k fps end-to-end).
+    # `norm_method='instance_fast'` keeps the raw one-pass form for
+    # serving paths that accept the parity caveat.
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)

@@ -83,148 +83,205 @@ def _norm_affine(y32, scale, bias, eps):
 def _build_xm(xn, H, W, C, dtype):
     """[HW, C] -> [(H+2)W, 3C] padded dj-concat. Rolls are 1-sublane
     circular shifts; edge masks zero the rows that wrapped across
-    image-row boundaries."""
+    image-row boundaries. Mosaic only lowers rotates on 32-bit lanes, so
+    the rolls run on an f32 copy and the result is cast to the act dtype."""
     HW = H * W
+    x32 = xn.astype(jnp.float32)
     rowpos = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0) % W
-    left = pltpu.roll(xn, 1, axis=0)  # row p holds x[p-1]
+    left = pltpu.roll(x32, 1, axis=0)  # row p holds x[p-1]
     left = jnp.where(rowpos == 0, jnp.zeros_like(left), left)
-    right = pltpu.roll(xn, HW - 1, axis=0)  # circular -1: row p holds x[p+1]
+    right = pltpu.roll(x32, HW - 1, axis=0)  # circular -1: row p holds x[p+1]
     right = jnp.where(rowpos == W - 1, jnp.zeros_like(right), right)
-    xm = jnp.concatenate([left, xn, right], axis=1).astype(dtype)
+    xm = jnp.concatenate(
+        [left.astype(dtype), xn.astype(dtype), right.astype(dtype)], axis=1
+    )
     zpad = jnp.zeros((W, 3 * C), dtype)
     return jnp.concatenate([zpad, xm, zpad], axis=0)
 
 
-def _fused_unit_kernel(
-    *refs, H, W, C, Co, ksize, pro, epi, has_skip, eps, act_dtype,
-):
-    """One fused [prologue-norm] -> conv -> [epilogue-norm | +skip] unit
-    for a single sample. Ref order:
-      x [1, HW, C], w, b [1, Co], ps, pb, es, eb, (skip [1, HW, Co]), out
-    """
-    if has_skip:
-        x_ref, w_ref, b_ref, ps_ref, pb_ref, es_ref, eb_ref, s_ref, o_ref = refs
-    else:
-        x_ref, w_ref, b_ref, ps_ref, pb_ref, es_ref, eb_ref, o_ref = refs
-        s_ref = None
+def _fused_chain_kernel(*refs, H, W, bt, specs, has_skip, eps, act_dtype):
+    """Chain of fused units on ``bt`` samples, everything VMEM-resident.
+    Ref order: x, (w, b, ps, pb, es, eb) per unit, [skip], out.
+
+    With bt > 1 each unit's work is STAGE-SLICED across the block's
+    samples (all prologue+xm builds, then all dot chains, then all
+    epilogues): the stages of different samples are data-independent, so
+    Mosaic's scheduler overlaps sample B's VPU glue with sample A's MXU
+    dots — measured 13% on the head unit (tools/ablate_fused2.py)."""
+    n = len(specs)
+    n_in = 1 + 6 * n + (1 if has_skip else 0)
+    x_ref = refs[0]
+    unit_refs = refs[1 : 1 + 6 * n]
+    s_ref = refs[6 * n + 1] if has_skip else None
+    o_ref = refs[n_in]
+
     HW = H * W
-    if pro:
-        x32 = x_ref[0].astype(jnp.float32)
-        xn = _norm_affine(x32, ps_ref[:], pb_ref[:], eps)
-        xn = xn.astype(act_dtype)  # round like the XLA path's stored act
-    else:
-        xn = x_ref[0]
+    hs = [x_ref[s] for s in range(bt)]
+    for u, (ksize, pro, epi, _) in enumerate(specs):
+        w, b, ps, pb, es, eb = (r[:] for r in unit_refs[6 * u : 6 * u + 6])
+        Co = w.shape[-1]
+        # stage 1: prologue norm + xm build (VPU)
+        ops = []
+        for s in range(bt):
+            xn = hs[s]
+            if pro:
+                xn = _norm_affine(
+                    xn.astype(jnp.float32), ps, pb, eps
+                ).astype(act_dtype)
+            ops.append(_build_xm(xn, H, W, xn.shape[-1], act_dtype)
+                       if ksize == 3 else xn)
+        # stage 2: dot chains (MXU)
+        accs = []
+        for s in range(bt):
+            if ksize == 3:
+                acc = jnp.zeros((HW, Co), jnp.float32)
+                for di in range(3):
+                    acc += jax.lax.dot_general(
+                        ops[s][di * W : di * W + HW], w[di],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            else:
+                acc = jax.lax.dot_general(
+                    ops[s], w,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            accs.append(acc)
+        # stage 3: bias + epilogue norm (VPU)
+        for s in range(bt):
+            y = accs[s] + b
+            if epi:
+                y32 = y.astype(act_dtype).astype(jnp.float32)
+                hs[s] = _norm_affine(y32, es, eb, eps).astype(act_dtype)
+            else:
+                hs[s] = y.astype(act_dtype)
+    for s in range(bt):
+        if has_skip:
+            hs[s] = hs[s] + s_ref[s]
+        o_ref[s] = hs[s]
 
-    if ksize == 3:
-        xm_pad = _build_xm(xn, H, W, C, act_dtype)
-        acc = jnp.zeros((HW, Co), jnp.float32)
-        for di in range(3):
-            sl = xm_pad[di * W : di * W + HW, :]
-            acc += jax.lax.dot_general(
-                sl, w_ref[di],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    else:
-        acc = jax.lax.dot_general(
-            xn, w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    y = acc + b_ref[:]
 
-    if epi:
-        # stats on the activation-dtype-rounded conv output — identical to
-        # the XLA path, which stores y in act dtype and upcasts for stats
-        y32 = y.astype(act_dtype).astype(jnp.float32)
-        o_ref[0] = _norm_affine(y32, es_ref[:], eb_ref[:], eps).astype(act_dtype)
-    elif has_skip:
-        # residual add in act dtype: XLA computes x + h on act-dtype values
-        o_ref[0] = y.astype(act_dtype) + s_ref[0]
-    else:
-        o_ref[0] = y.astype(act_dtype)
-
-
-def fused_conv_norm(
+def fused_chain(
     x: jax.Array,
-    kernel_hwio: jax.Array,
-    conv_bias: jax.Array,
+    units: list[dict],
     *,
-    pro_scale: jax.Array | None = None,
-    pro_bias: jax.Array | None = None,
-    epi_scale: jax.Array | None = None,
-    epi_bias: jax.Array | None = None,
     skip: jax.Array | None = None,
+    bt: int = 1,
     eps: float = 1e-5,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Fused [instance-norm+relu] -> conv -> [instance-norm+relu | +skip]
-    on NHWC.
+    """Run a CHAIN of [pro-norm]->conv->[epi-norm] units in ONE Pallas
+    kernel per sample: intermediates never leave VMEM, so a 3-conv head or
+    a full ResBlock costs one HBM read of x and one write of the result.
 
-    ``x`` [B, H, W, C]; ``kernel_hwio`` [k, k, C, Co] (k in {1, 3});
-    ``conv_bias`` [Co]. Prologue/epilogue norms are enabled by passing
-    their scale/bias (f32 [C] / [Co]); ``skip`` [B, H, W, Co] adds a
-    residual to the conv output (mutually exclusive with the epilogue).
-    Returns [B, H, W, Co] in x.dtype. Forward only — training wraps this
-    in a custom_vjp (see models/fused_forward.py).
+    ``units``: each a dict with keys ``kernel`` (HWIO [k,k,C,Co], k in
+    {1,3}), ``bias`` [Co], and optional ``pro``/``epi`` = (scale, bias)
+    tuples enabling the prologue/epilogue instance norm. ``skip`` [B,H,W,Co]
+    is added to the final conv output (the ResBlock residual,
+    reference model.py:22). Forward only.
     """
     B, H, W, C = x.shape
-    k = kernel_hwio.shape[0]
-    Co = kernel_hwio.shape[-1]
     HW = H * W
     act_dtype = x.dtype
-    pro = pro_scale is not None
-    epi = epi_scale is not None
-    assert not (epi and skip is not None), "epilogue and skip are exclusive"
     if interpret is None:
         interpret = not _is_tpu()
+    if B % bt != 0:
+        bt = 1
 
-    if k == 3:
-        w = pack_wcat(kernel_hwio).astype(act_dtype)
-    elif k == 1:
-        w = kernel_hwio.reshape(C, Co).astype(act_dtype)
-    else:
-        raise ValueError(f"kernel_size {k} unsupported (1 or 3)")
+    specs = []
+    operands = [x.reshape(B, HW, C)]
+    in_specs = [
+        pl.BlockSpec((bt, HW, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    ]
 
     def vec(v):
         return (v if v is not None else jnp.zeros((1,), jnp.float32)).reshape(1, -1).astype(jnp.float32)
 
-    ps, pb, es, eb = vec(pro_scale), vec(pro_bias), vec(epi_scale), vec(epi_bias)
-    bias2 = conv_bias.reshape(1, Co).astype(jnp.float32)
-
-    full = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, _n=None: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
 
-    kern = functools.partial(
-        _fused_unit_kernel, H=H, W=W, C=C, Co=Co, ksize=k,
-        pro=pro, epi=epi, has_skip=skip is not None, eps=eps,
-        act_dtype=act_dtype,
-    )
-    operands = [x.reshape(B, HW, C), w, bias2, ps, pb, es, eb]
-    in_specs = [
-        pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        full(w), full(bias2), full(ps), full(pb), full(es), full(eb),
-    ]
+    cin = C
+    for u in units:
+        kern = u["kernel"]
+        k = kern.shape[0]
+        co = kern.shape[-1]
+        assert kern.shape[2] == cin, (kern.shape, cin)
+        if k == 3:
+            w = pack_wcat(kern).astype(act_dtype)
+        elif k == 1:
+            w = kern.reshape(cin, co).astype(act_dtype)
+        else:
+            raise ValueError(f"kernel_size {k} unsupported (1 or 3)")
+        pro = u.get("pro")
+        epi = u.get("epi")
+        b2 = u["bias"].reshape(1, co).astype(jnp.float32)
+        ps, pb = (vec(pro[0]), vec(pro[1])) if pro else (vec(None), vec(None))
+        es, eb = (vec(epi[0]), vec(epi[1])) if epi else (vec(None), vec(None))
+        for a in (w, b2, ps, pb, es, eb):
+            operands.append(a)
+            in_specs.append(full(a))
+        # NOTE (measured, round 3): a direct-store xm build into a
+        # persistent VMEM scratch (lane-aligned column blocks) was SLOWER
+        # than this concat build (10.8 vs 9.9 us/fr on the merged head) —
+        # ref-routed dot operands cost more than the concat copies save.
+        specs.append((k, pro is not None, epi is not None, False))
+        cin = co
+
     if skip is not None:
-        operands.append(skip.reshape(B, HW, Co))
-        in_specs.append(pl.BlockSpec((1, HW, Co), lambda b: (b, 0, 0),
+        assert skip.shape[-1] == cin
+        operands.append(skip.reshape(B, HW, cin))
+        in_specs.append(pl.BlockSpec((bt, HW, cin), lambda b: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
 
+    kern_fn = functools.partial(
+        _fused_chain_kernel, H=H, W=W, bt=bt, specs=tuple(specs),
+        has_skip=skip is not None, eps=eps, act_dtype=act_dtype,
+    )
+    flops = 0
+    ci = C
+    for u in units:
+        k = u["kernel"].shape[0]
+        co = u["kernel"].shape[-1]
+        flops += 2 * B * HW * ci * co * k * k
+        ci = co
     out = pl.pallas_call(
-        kern,
-        grid=(B,),
+        kern_fn,
+        grid=(B // bt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, HW, Co), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((bt, HW, cin), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, HW, Co), act_dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
+        out_shape=jax.ShapeDtypeStruct((B, HW, cin), act_dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * HW * C * Co * k * k,
-            bytes_accessed=B * HW * (C + Co) * x.dtype.itemsize,
+            flops=flops,
+            bytes_accessed=B * HW * (C + cin) * x.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
     )(*operands)
-    return out.reshape(B, H, W, Co)
+    return out.reshape(B, H, W, cin)
+
+
+def fused_conv_norm(
+    x,
+    kernel_hwio,
+    conv_bias,
+    *,
+    pro_scale=None,
+    pro_bias=None,
+    epi_scale=None,
+    epi_bias=None,
+    skip=None,
+    eps: float = 1e-5,
+    interpret: bool | None = None,
+):
+    """Single fused [instance-norm+relu] -> conv -> [instance-norm+relu |
+    +skip] unit on NHWC — a one-unit `fused_chain`; see that for semantics.
+    """
+    unit = {"kernel": kernel_hwio, "bias": conv_bias}
+    if pro_scale is not None:
+        unit["pro"] = (pro_scale, pro_bias)
+    if epi_scale is not None:
+        unit["epi"] = (epi_scale, epi_bias)
+    return fused_chain(x, [unit], skip=skip, eps=eps, interpret=interpret)

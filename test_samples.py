@@ -25,6 +25,11 @@ if __name__ == "__main__":
     parser.add_argument("--subject", type=int, default=None)
     parser.add_argument("--data_path", type=str, default=None)
     parser.add_argument("--save_dir", type=str, default="Samples")
+    parser.add_argument("--max_samples", type=int, default=None,
+                        help="stop after N samples")
+    parser.add_argument("--headless", action="store_true",
+                        help="no interactive window: save every sample "
+                             "canvas to --save_dir instead")
     args = parser.parse_args()
     args.decoder = "xla"
     args.matmul_precision = None
@@ -90,11 +95,17 @@ if __name__ == "__main__":
         gt = draw_skeleton_normalized(img, np.asarray(data["uvd"][0]), testset.config)
         pred = draw_skeleton_normalized(img, np.asarray(uvd[0]), testset.config)
         canvas = np.concatenate([gt, pred], axis=1)
-        cv2.imshow("gt | prediction (q quit, s save)", canvas[:, :, ::-1])
-        k = cv2.waitKey(0) & 0xFF
-        if k == ord("q"):
-            break
-        if k == ord("s"):
+        if args.headless:
             cv2.imwrite(os.path.join(args.save_dir, f"sample_{idx}.png"),
                         (canvas[:, :, ::-1] * 255).astype(np.uint8))
+        else:
+            cv2.imshow("gt | prediction (q quit, s save)", canvas[:, :, ::-1])
+            k = cv2.waitKey(0) & 0xFF
+            if k == ord("q"):
+                break
+            if k == ord("s"):
+                cv2.imwrite(os.path.join(args.save_dir, f"sample_{idx}.png"),
+                            (canvas[:, :, ::-1] * 255).astype(np.uint8))
         idx += 1
+        if args.max_samples is not None and idx >= args.max_samples:
+            break

@@ -118,6 +118,63 @@ def test_prologue_skip_unit_matches_xla_resblock_tail():
     )
 
 
+@pytest.mark.parametrize("bt", [1, 2])
+def test_fused_chain_head_triple(bt):
+    """3x (conv3 + epilogue norm) in ONE kernel == 3 XLA units chained.
+    bt=2 exercises the stage-sliced sample interleaving."""
+    from pixelwiseregression_tpu.ops.pallas_fused import fused_chain
+
+    keys = jax.random.split(jax.random.PRNGKey(4), 12)
+    B, H, W, C = 2, 16, 16, 8
+    x = _rand(keys[0], (B, H, W, C)).astype(jnp.bfloat16)
+    units = []
+    ref = x
+    for i in range(3):
+        w = _rand(keys[4 * i + 1], (3, 3, C, C), 0.3)
+        b = _rand(keys[4 * i + 2], (C,), 0.1)
+        es = 1.0 + 0.1 * _rand(keys[4 * i + 3], (C,))
+        eb = 0.1 * _rand(keys[4 * i + 4], (C,))
+        units.append({"kernel": w, "bias": b, "epi": (es, eb)})
+        ref = _xla_norm_relu(_xla_conv(ref, w, b), es, eb).astype(jnp.bfloat16)
+
+    got = fused_chain(x, units, bt=bt)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.08, rtol=0.08,
+    )
+
+
+def test_fused_chain_resblock():
+    """Full pre-activation ResBlock (norm->1x1, norm->3x3, norm->1x1 + x)
+    in one kernel == the XLA composition (reference model.py:6-23)."""
+    from pixelwiseregression_tpu.ops.pallas_fused import fused_chain
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 13)
+    B, H, W, C = 2, 16, 16, 16
+    Ch = C // 2
+    x = (1.0 + _rand(keys[0], (B, H, W, C))).astype(jnp.bfloat16)
+
+    shapes = [(1, C, Ch), (3, Ch, Ch), (1, Ch, C)]
+    units, ref = [], x
+    for i, (k, ci, co) in enumerate(shapes):
+        w = _rand(keys[4 * i + 1], (k, k, ci, co), 0.3)
+        b = _rand(keys[4 * i + 2], (co,), 0.1)
+        ps = 1.0 + 0.1 * _rand(keys[4 * i + 3], (ci,))
+        pb = 0.1 * _rand(keys[4 * i + 4], (ci,))
+        units.append({"kernel": w, "bias": b, "pro": (ps, pb)})
+        ref = _xla_conv(
+            _xla_norm_relu(ref.astype(jnp.float32), ps, pb).astype(jnp.bfloat16),
+            w, b,
+        ).astype(jnp.bfloat16)
+    ref = ref + x
+
+    got = fused_chain(x, units, skip=x)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.08, rtol=0.08,
+    )
+
+
 def test_both_norms_unit():
     """prologue + conv + epilogue in one kernel (stem conv_1 shape)."""
     keys = jax.random.split(jax.random.PRNGKey(2), 7)
