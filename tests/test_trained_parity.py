@@ -60,15 +60,17 @@ def _load_crops(root, dataset, n):
     return {k: np.asarray(v) for k, v in data.items()}
 
 
-# (stage, steps, threshold_mm): the single-stage model gets the tight 0.1 mm
-# gate — it exercises every converted module class (stem/hourglass/heads/
-# decoder/norms) without the cross-stage chaos amplification. The 2-stage
-# chained model is chaotic on trained weights (its stage-2 input contains
-# near-degenerate softmax-heatmap channels whose instance-norm statistics
-# amplify sub-1e-6 backend float differences by ~1e3), so it gets a
-# gross-bug gate: the one-pass-variance bug this test originally caught
-# measured ~20 mm there.
-@pytest.mark.parametrize("stage,steps,threshold_mm", [(1, 60, 0.1), (2, 40, 1.0)])
+# (stage, steps, threshold_mm). Round-3 measurement
+# (tools/stage2_amplification.py) retired the old "chaos" story for the
+# chained model: under matmul_precision=highest (verify_parity's default)
+# the 2-stage trained parity measures 0.014-0.031 mm across seeds — the
+# intrinsic noise gain of the chained function is only ~10-30x (torch,
+# eps-perturbation), and the earlier ~1e3 "amplification" was an artifact
+# of measuring at DEFAULT matmul precision (bf16-grade convs: 2.5-9 mm on
+# the same weights). Stage 2 gets 0.25 mm: ~8x above the measured worst
+# seed, still tight enough to catch any numerics bug class seen so far
+# (the one-pass-variance bug measured ~20 mm here).
+@pytest.mark.parametrize("stage,steps,threshold_mm", [(1, 60, 0.1), (2, 40, 0.25)])
 def test_trained_checkpoint_parity(nyu_fixture, tmp_path, stage, steps, threshold_mm):
     import model as ref_model
 
