@@ -50,12 +50,17 @@ def main():
     parser.add_argument("--stages", type=int, default=1)
     parser.add_argument("--features", type=int, default=128)
     parser.add_argument("--level", type=int, default=4)
-    parser.add_argument("--norm_method", type=str, default="instance",
-                        choices=["instance", "instance_fast", "batch"],
-                        help="batch norm folds to a constant affine at "
-                             "inference — the int8 modes only pay off there "
-                             "(instance norm's per-sample stats keep every "
-                             "conv's epilogue on the VPU)")
+    parser.add_argument("--norm_method", type=str, default="instance_anchored",
+                        choices=["instance", "instance_fast",
+                                 "instance_anchored", "batch"],
+                        help="default instance_anchored = calibrated-anchor "
+                             "one-pass statistics (one-pass fusion/speed, "
+                             "trained-checkpoint parity <0.01 mm, exact "
+                             "two-pass fallback for anchor-less torch "
+                             "checkpoints). 'instance' = always-exact "
+                             "two-pass (~19%% slower). batch norm folds to "
+                             "a constant affine at inference — the int8 "
+                             "modes only pay off there")
     parser.add_argument("--engine", type=str, default="auto",
                         choices=["auto", "fused", "flax", "unit"],
                         help="'unit' = per-unit fused conv+instance-norm "
@@ -76,6 +81,13 @@ def main():
                              "minutes there)")
     parser.add_argument("--no_train", dest="train", action="store_false")
     parser.add_argument("--train_batch_size", type=int, default=128)
+    parser.add_argument("--serving", dest="serving", action="store_true",
+                        default=None,
+                        help="also measure the fastest supported serving "
+                             "config (batch norm + int8_static_all; "
+                             "~0.4 mm accuracy caveat) as a third JSON "
+                             "line. Default: on for TPU")
+    parser.add_argument("--no_serving", dest="serving", action="store_false")
     args = parser.parse_args()
 
     import jax
@@ -86,6 +98,8 @@ def main():
 
     if args.train is None:  # mirror the chip-health guard: TPU-only default
         args.train = jax.devices()[0].platform == "tpu"
+    if args.serving is None:
+        args.serving = jax.devices()[0].platform == "tpu"
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     decoder = args.decoder
@@ -130,41 +144,14 @@ def main():
         forward = lambda variables, im, la, ma: model.apply(
             variables, im, la, ma, train=False)
 
-    def make_scan(n):
-        @jax.jit
-        def run(variables, img, label, mask):
-            def body(acc, i):
-                # per-iteration input perturbation: the body cannot be hoisted
-                out = forward(
-                    variables, img + i.astype(jnp.float32) * 1e-6, label, mask
-                )[-1][2]
-                return acc + jnp.sum(out.astype(jnp.float32)), None
-            acc, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(n))
-            return acc
-        return run
-
-    run_n = make_scan(args.iters)
-    run_1 = make_scan(1)
-
-    def timed(fn):
-        t0 = time.perf_counter()
-        v = float(fn(variables, img, label, mask))  # scalar fetch = sync
-        return time.perf_counter() - t0, v
-
-    timed(run_1)  # compile
-    timed(run_n)  # compile
-
-    per_iter = []
-    for _ in range(args.repeat):
-        t1, _ = timed(run_1)
-        tn, _ = timed(run_n)
-        per_iter.append((tn - t1) / (args.iters - 1))
-    dt = min(per_iter)
-
-    fps = b / dt
+    fps = _measure_forward(forward, variables, img, label, mask,
+                           args.iters, args.repeat)
 
     qtag = "" if args.quant == "none" else f"_{args.quant}"
-    ntag = "" if args.norm_method == "instance" else f"_{args.norm_method}norm"
+    # the default (anchored) config carries the bare headline metric name;
+    # non-default norm forms are tagged
+    ntag = ("" if args.norm_method == "instance_anchored"
+            else f"_{args.norm_method}norm")
     # headline line FIRST so it is captured even if anything below
     # (health probe compile, long-compiling train measurement) is cut off
     # by a harness timeout
@@ -193,6 +180,24 @@ def main():
         except Exception:
             pass
 
+    if args.serving:
+        try:
+            sfps = _bench_serving_config(args)
+            print(json.dumps({
+                "metric": f"serving_fps_nyu_stage{args.stages}_128_int8_batchnorm",
+                "value": round(sfps, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(sfps / 10000.0, 4),
+                "caveat": "int8_static_all + batch norm: fastest supported "
+                          "serving mode; measured accuracy cost ~0.4 mm "
+                          "mean per-joint vs f32 (PERF.md) — opt-in, not "
+                          "the parity path",
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001 — never lose the earlier lines
+            print(json.dumps({"metric": "serving_fps_nyu_stage1_128_int8_batchnorm",
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+
     if args.train:
         try:
             record = bench_train(args)
@@ -209,6 +214,75 @@ def main():
             print(json.dumps({"metric": "train_fps_nyu_stage2_raw640x480",
                               "error": f"{type(e).__name__}: {e}"[:200]}),
                   flush=True)
+
+
+def _measure_forward(forward, variables, img, label, mask, iters, repeat):
+    """In-jit lax.scan timing (see module docstring): returns frames/sec."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def make_scan(n):
+        @jax.jit
+        def run(variables, img, label, mask):
+            def body(acc, i):
+                # per-iteration input perturbation: the body cannot be hoisted
+                out = forward(
+                    variables, img + i.astype(jnp.float32) * 1e-6, label, mask
+                )[-1][2]
+                return acc + jnp.sum(out.astype(jnp.float32)), None
+            acc, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+            return acc
+        return run
+
+    run_n = make_scan(iters)
+    run_1 = make_scan(1)
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        v = float(fn(variables, img, label, mask))  # scalar fetch = sync
+        return time.perf_counter() - t0, v
+
+    timed(run_1)  # compile
+    timed(run_n)  # compile
+
+    per_iter = []
+    for _ in range(repeat):
+        t1, _ = timed(run_1)
+        tn, _ = timed(run_n)
+        per_iter.append((tn - t1) / (iters - 1))
+    return img.shape[0] / min(per_iter)
+
+
+def _bench_serving_config(args):
+    """Fastest supported serving config (PERF.md: batch norm folds to a
+    constant affine at inference, which unblocks int8 conv chaining on the
+    v5e's 394-TOPs int8 MXU): measured the same way as the headline."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pixelwiseregression_tpu.models import PixelwiseRegression
+
+    model = PixelwiseRegression(
+        joints=args.joints, stage=args.stages, label_size=64,
+        features=args.features, level=args.level,
+        norm_method="batch", heatmap_method="softmax",
+        decoder="xla", dtype=jnp.bfloat16, quant="int8_static_all",
+    )
+    b = args.batch_size
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(b, 128, 128, 1), jnp.float32)
+    label = jnp.asarray(rng.rand(b, 64, 64, 1), jnp.float32)
+    mask = jnp.asarray((rng.rand(b, 64, 64, 1) > 0.3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img[:1], label[:1], mask[:1],
+                           train=False)
+    _, upd = model.apply(variables, img, label, mask, train=False,
+                         mutable=["quant_scales"])
+    variables = dict(variables, **upd)
+    forward = lambda v, im, la, ma: model.apply(v, im, la, ma, train=False)
+    return _measure_forward(forward, variables, img, label, mask,
+                            args.iters, args.repeat)
 
 
 def _chip_health_tflops(jax, jnp, lax, np):

@@ -20,10 +20,16 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--label_size", type=int, default=64)
     p.add_argument("--kernel_size", type=int, default=7)
     p.add_argument("--sigmoid", type=float, default=1.5)
-    p.add_argument("--norm_method", type=str, default="instance",
-                   help="choose from batch, instance and instance_fast "
-                        "(one-pass stats: ~19%% faster serving, numerically "
-                        "unsafe on near-constant channels — not for parity)")
+    p.add_argument("--norm_method", type=str, default="instance_anchored",
+                   help="choose from batch, instance_anchored (default: "
+                        "calibrated-anchor one-pass stats — one-pass speed "
+                        "with two-pass-grade robustness, trained-parity "
+                        "gated at <0.01 mm; anchors live in batch_stats "
+                        "and torch checkpoints without them fall back to "
+                        "exact two-pass), instance (always-exact torch "
+                        "two-pass variance) and instance_fast (raw "
+                        "one-pass: numerically unsafe on near-constant "
+                        "channels — not for parity)")
     p.add_argument("--stages", type=int, default=2)
     p.add_argument("--features", type=int, default=128)
     p.add_argument("--level", type=int, default=4)

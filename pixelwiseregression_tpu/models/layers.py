@@ -304,6 +304,57 @@ def _instance_norm_fwd(x, scale, bias, eps):
     return y, (x, mean, inv, scale)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _instance_norm_anchored(x, scale, bias, anchor, eps):
+    """Instance norm with CALIBRATED-ANCHOR one-pass statistics.
+
+    ``var = E[(x-c)^2] - (E[x]-c)^2`` with ``c`` a per-channel CONSTANT
+    (a calibrated running mean stored in the ``batch_stats`` collection) —
+    an exact algebraic identity, evaluated in f32. Unlike the data-dependent
+    anchor slice (c = x[:,0,0,:], measured ~6.4k fps because the slice
+    dependency stops all stat fusion), a constant anchor keeps BOTH
+    reductions plain sums of elementwise chains, which XLA's
+    convert_reduce_fusion folds into the producing conv exactly like the
+    raw one-pass form (single activation read).
+
+    Numerics: relative var error ~ eps_f32 * (1 + (mean-c)^2/var). The
+    round-1 catastrophic case (c=0: near-constant channels where
+    mean^2/var ~ 1e8) becomes benign once c tracks the channel mean within
+    a few sigma — the calibration keeps (mean-c)^2 = O(var). Channels the
+    anchor has never seen stay no worse than one-pass.
+
+    Returns ``(y, batch_mean[C])`` — the per-channel batch mean falls out
+    of the stats already computed, so the caller's anchor calibration costs
+    no extra pass over the activation.
+    """
+    out, _ = _instance_norm_fwd_anchored(x, scale, bias, anchor, eps)
+    return out
+
+
+def _instance_norm_fwd_anchored(x, scale, bias, anchor, eps):
+    x32 = x.astype(jnp.float32)
+    c = jax.lax.stop_gradient(anchor.astype(jnp.float32))
+    xc = x32 - c
+    mean_c = jnp.mean(xc, axis=(1, 2), keepdims=True)            # = mean - c
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xc), axis=(1, 2), keepdims=True)
+        - jnp.square(mean_c), 0.0)
+    mean = mean_c + c
+    inv = jax.lax.rsqrt(var + eps)
+    a = inv * scale
+    b = bias - mean * a
+    y = x32 * a + b
+    bmean = jnp.mean(mean, axis=(0, 1, 2))                       # [C], free
+    return (y, bmean), (x, mean, inv, scale)
+
+
+def _instance_norm_bwd_anchored(eps, res, cts):
+    g, _g_bmean = cts  # batch_mean is a calibration aux: no gradient
+    dx, dscale, dbias = _instance_norm_bwd(eps, res, g)
+    # the anchor is a calibration constant (stop_gradient semantics)
+    return dx, dscale, dbias, jnp.zeros(res[0].shape[-1], jnp.float32)
+
+
 def _instance_norm_fwd_fast(x, scale, bias, eps):
     # one-pass E[x]/E[x^2] stats, both fused by XLA into the producing conv
     # (single activation read): the round-1 speed form. See
@@ -341,6 +392,8 @@ def _instance_norm_bwd(eps, res, g):
 
 _instance_norm.defvjp(_instance_norm_fwd, _instance_norm_bwd)
 _instance_norm_fast.defvjp(_instance_norm_fwd_fast, _instance_norm_bwd)
+_instance_norm_anchored.defvjp(_instance_norm_fwd_anchored,
+                               _instance_norm_bwd_anchored)
 
 
 class InstanceNorm(nn.Module):
@@ -354,6 +407,8 @@ class InstanceNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
     fast: bool = False  # one-pass stats (see _instance_norm_fwd_fast caveat)
+    anchored: bool = False  # calibrated-anchor one-pass (see _instance_norm_anchored)
+    anchor_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x):
@@ -363,6 +418,35 @@ class InstanceNorm(nn.Module):
         # pass x in its native dtype: the custom VJP stores it as the
         # residual, so bf16 activations are re-read at half the bandwidth
         # on the backward pass
+        if self.anchored and (
+            self.is_initializing() or self.has_variable("batch_stats", "anchor")
+        ):
+            # per-channel calibration anchor in batch_stats (same collection
+            # BatchNorm uses, so the train loop / checkpoints / CLIs thread
+            # it with zero extra plumbing). Torch-converted checkpoints have
+            # no batch_stats -> the has_variable branch above falls back to
+            # exact two-pass statistics transparently.
+            # debiased EMA (Adam-style): anchor = ema / (1 - m^n). A plain
+            # EMA from zero keeps m^n of the true mean as bias — 20
+            # calibration steps at m=0.9 still leave 12% of the mean, which
+            # re-introduces the (mean-c)^2 cancellation on near-constant
+            # channels. Debiasing makes few-batch calibration exact on a
+            # stationary distribution; n=0 (fresh init) degrades to the
+            # plain one-pass form, which is fine pre-training.
+            ema = self.variable("batch_stats", "anchor",
+                                lambda: jnp.zeros((c,), jnp.float32))
+            n = self.variable("batch_stats", "anchor_n",
+                              lambda: jnp.zeros((), jnp.float32))
+            m = jnp.float32(self.anchor_momentum)
+            debias = 1.0 - jnp.power(m, n.value)
+            anchor = jnp.where(debias > 0, ema.value / jnp.maximum(debias, 1e-12), 0.0)
+            y, bmean = _instance_norm_anchored(x, scale, bias, anchor,
+                                               self.epsilon)
+            if (not self.is_initializing()
+                    and self.is_mutable_collection("batch_stats")):
+                ema.value = m * ema.value + (1.0 - m) * bmean
+                n.value = n.value + 1.0
+            return y.astype(self.dtype)
         fn = _instance_norm_fast if self.fast else _instance_norm
         y = fn(x, scale, bias, self.epsilon)
         return y.astype(self.dtype)
@@ -374,11 +458,18 @@ def make_norm(method: str, dtype: Any = jnp.float32) -> Callable[..., nn.Module]
     ``instance_fast`` = InstanceNorm with one-pass statistics: ~19% faster
     end-to-end (both stat reductions fuse into the producing conv) but
     numerically unsafe on near-constant channels — serving opt-in, not for
-    checkpoint-parity work."""
+    checkpoint-parity work.
+
+    ``instance_anchored`` = calibrated-anchor one-pass statistics
+    (`_instance_norm_anchored`): one-pass fusion/speed with two-pass-grade
+    robustness once the per-channel anchors (batch_stats) are calibrated;
+    falls back to exact two-pass for checkpoints without anchors."""
     if method == "instance":
         return functools.partial(InstanceNorm, dtype=dtype)
     if method == "instance_fast":
         return functools.partial(InstanceNorm, dtype=dtype, fast=True)
+    if method == "instance_anchored":
+        return functools.partial(InstanceNorm, dtype=dtype, anchored=True)
     if method == "batch":
         return functools.partial(
             nn.BatchNorm,

@@ -194,7 +194,11 @@ class PredictionBlock(nn.Module):
             )
 
             heatmaps, uvd = soft_argmax_decode_pallas(
-                logits, depthmaps, label_img, mask, w, self.heatmap_method
+                logits, depthmaps, label_img, mask, w, self.heatmap_method,
+                # inference: relayout the decoder boundary in the native
+                # (bf16) map dtype — no backward runs, so the f32 custom-VJP
+                # path is training-only
+                fast_boundary=(not train) and logits.dtype == jnp.bfloat16,
             )
         else:
             heatmaps, uvd = soft_argmax_decode(

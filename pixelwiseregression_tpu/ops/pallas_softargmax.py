@@ -49,7 +49,8 @@ def _flat_com_filters(h: int, w: int):
 
 def _fwd_kernel(x_ref, dm_ref, label_ref, mask_ref, w_ref, fu_ref, fv_ref,
                 hm_ref, uvd_ref):
-    x = x_ref[0]                               # [J, HW]
+    # inputs may arrive bf16 (inference fast boundary): compute in f32
+    x = x_ref[0].astype(jnp.float32)           # [J, HW]
     w = w_ref[:]                               # [J, 1]
     z = x * w
     zmax = jnp.max(z, axis=1, keepdims=True)
@@ -60,14 +61,15 @@ def _fwd_kernel(x_ref, dm_ref, label_ref, mask_ref, w_ref, fu_ref, fv_ref,
     u = jnp.sum(fu_ref[:] * p, axis=1)         # [J]
     v = jnp.sum(fv_ref[:] * p, axis=1)
 
-    m = mask_ref[0]                            # [1, HW]
-    recon = (dm_ref[0] + label_ref[0]) * m     # label broadcasts [1, HW]
+    m = mask_ref[0].astype(jnp.float32)        # [1, HW]
+    recon = (dm_ref[0].astype(jnp.float32)
+             + label_ref[0].astype(jnp.float32)) * m  # label broadcasts
     mh = p * m
     num = jnp.sum(mh * recon, axis=1)
     den = jnp.sum(mh, axis=1)
     d = num / (den + _EPS)
 
-    hm_ref[0] = p
+    hm_ref[0] = p.astype(hm_ref.dtype)
     uvd_ref[0] = jnp.stack([u, v, d], axis=0)  # [3, J]
 
 
@@ -120,7 +122,7 @@ def _specs(hw: int, j: int):
     return blk, blk1, w_spec, f_spec
 
 
-def _pallas_forward(x, dm, label, mask, w, h: int, wd: int):
+def _pallas_forward(x, dm, label, mask, w, h: int, wd: int, hm_dtype=jnp.float32):
     b, j, hw = x.shape
     fu, fv = _flat_com_filters(h, wd)
     blk, blk1, w_spec, f_spec = _specs(hw, j)
@@ -134,7 +136,7 @@ def _pallas_forward(x, dm, label, mask, w, h: int, wd: int):
             pl.BlockSpec((1, 3, j), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, j, hw), jnp.float32),
+            jax.ShapeDtypeStruct((b, j, hw), hm_dtype),
             jax.ShapeDtypeStruct((b, 3, j), jnp.float32),
         ],
         interpret=interpret,
@@ -196,12 +198,21 @@ def _decode_flat_bwd(h, wd, res, grads):
 _decode_flat.defvjp(_decode_flat_fwd, _decode_flat_bwd)
 
 
-def soft_argmax_decode_pallas(logits, depthmaps, label_img, mask, w, method="softmax"):
+def soft_argmax_decode_pallas(logits, depthmaps, label_img, mask, w,
+                              method="softmax", fast_boundary=False):
     """Drop-in replacement for `ops.softargmax.soft_argmax_decode`.
 
     Args/returns identical: maps NHWC ``[B, H, W, J]``, label/mask
-    ``[B, H, W, 1]``, ``w`` ``[J]``; returns (heatmaps ``[B, H, W, J]`` f32,
+    ``[B, H, W, 1]``, ``w`` ``[J]``; returns (heatmaps ``[B, H, W, J]``,
     uvd ``[B, J, 3]`` f32).
+
+    ``fast_boundary=True`` (inference-only) keeps the ``[J, HW]`` boundary
+    relayouts in the maps' NATIVE dtype (bf16 under the mixed-precision
+    policy: half the transpose traffic both ways — the reason the kernel
+    used to lose ~2.5% to the XLA decoder forward-only) and emits bf16
+    heatmaps (stage chaining casts them to the model dtype anyway). The
+    kernel computes in f32 either way. No custom VJP on this path — use it
+    only under ``train=False``.
     """
     if method != "softmax":
         return soft_argmax_decode(logits, depthmaps, label_img, mask, w, method)
@@ -209,13 +220,19 @@ def soft_argmax_decode_pallas(logits, depthmaps, label_img, mask, w, method="sof
     b, h, wd, j = logits.shape
     hw = h * wd
 
+    map_dtype = logits.dtype if fast_boundary else jnp.float32
+
     def to_jhw(t, c):
-        return jnp.transpose(t.astype(jnp.float32).reshape(b, hw, c), (0, 2, 1))
+        return jnp.transpose(t.astype(map_dtype).reshape(b, hw, c), (0, 2, 1))
 
     x = to_jhw(logits, j)
     dm = to_jhw(depthmaps, j)
     lab = to_jhw(label_img, 1)
     msk = to_jhw(mask, 1)
-    hm, uvd = _decode_flat(x, dm, lab, msk, w.astype(jnp.float32), h, wd)
+    if fast_boundary:
+        hm, uvd = _pallas_forward(x, dm, lab, msk, w.astype(jnp.float32),
+                                  h, wd, hm_dtype=map_dtype)
+    else:
+        hm, uvd = _decode_flat(x, dm, lab, msk, w.astype(jnp.float32), h, wd)
     hm = jnp.transpose(hm, (0, 2, 1)).reshape(b, h, wd, j)
     return hm, jnp.transpose(uvd, (0, 2, 1))

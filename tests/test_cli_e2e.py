@@ -44,15 +44,28 @@ def _test_args(root):
 
 
 def test_train_then_test_roundtrip(msra_fixture, tmp_path, monkeypatch):
+    """Exercises the CLI DEFAULT norm (instance_anchored): training
+    calibrates the anchors continuously (batch_stats in the checkpoint),
+    and inference serves through the anchored fast path."""
     from pixelwiseregression_tpu.cli.test_main import run_inference
     from pixelwiseregression_tpu.cli.train_main import run_training
+    from pixelwiseregression_tpu.train.checkpoint import load_checkpoint
 
     monkeypatch.chdir(tmp_path)  # Model/, Result/, logs/ land here
-    best_epoch, best_err = run_training(_train_args(msra_fixture), "MSRA", subject=0)
+    args = _train_args(msra_fixture)
+    args.norm_method = "instance_anchored"
+    best_epoch, best_err = run_training(args, "MSRA", subject=0)
     assert np.isfinite(best_err) and best_err > 0
     assert os.path.exists("Model/MSRA_e2e_subject0_final.ckpt")
+    ckpt = load_checkpoint("Model/MSRA_e2e_subject0_final.ckpt")
+    anchors = [np.asarray(a) for a in
+               __import__("jax").tree.leaves(ckpt["batch_stats"])]
+    assert anchors and any(np.abs(a).max() > 0 for a in anchors), \
+        "training should have calibrated the norm anchors"
 
-    result_name, fps = run_inference(_test_args(msra_fixture), "MSRA", subject=0)
+    targs = _test_args(msra_fixture)
+    targs.norm_method = "instance_anchored"
+    result_name, fps = run_inference(targs, "MSRA", subject=0)
     assert os.path.exists(result_name)
     out = np.loadtxt(result_name)
     assert out.shape == (4, 21 * 3)

@@ -74,7 +74,7 @@ def main():
         print(f"{norm_method}: {b / best:.0f} fps  ({best / b * 1e6:.1f} us/frame)",
               flush=True)
 
-    for nm in ("instance", "instance_fast"):
+    for nm in ("instance", "instance_anchored", "instance_fast"):
         measure(nm)
 
 
