@@ -39,8 +39,11 @@ def main():
     parser.add_argument("--iters", type=int, default=16)
     parser.add_argument("--repeat", type=int, default=2)
     parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
-    parser.add_argument("--decoder", type=str, default="xla", choices=["xla", "pallas"],
-                        help="xla measures ~2.5%% faster at inference: the pallas kernel's [J,HW] layout transposes outweigh its fusion here (its win is the fused backward)")
+    parser.add_argument("--decoder", type=str, default="pallas", choices=["xla", "pallas"],
+                        help="fused Pallas decoder (default, matches the CLI "
+                             "surface): the bf16 fast_boundary path ties XLA "
+                             "forward-only (PERF.md) and wins the fused "
+                             "backward in training")
     parser.add_argument("--quant", type=str, default="none",
                         help="int8 MXU inference quantization, "
                              "'int8[_static][_all|_heads]' (serving path; "

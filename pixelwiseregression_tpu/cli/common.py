@@ -37,10 +37,10 @@ def add_model_args(p: argparse.ArgumentParser):
 
 def add_tpu_args(p: argparse.ArgumentParser, decoder_default: str = "pallas"):
     g = p.add_argument_group("tpu")
-    # default differs by CLI: training keeps the Pallas decoder (its win is
-    # the fused custom backward); inference defaults to the XLA decoder,
-    # which measures faster forward-only — the Pallas kernel's [J,HW]
-    # boundary transposes outweigh its fusion there (PERF.md).
+    # unified default (round 3): the fused Pallas decoder everywhere —
+    # training wins on the fused custom backward, and the bf16
+    # fast_boundary path ties the XLA decoder forward-only (10,180 vs
+    # 10,194 fps, window noise — PERF.md), so one decoder serves both.
     g.add_argument("--decoder", type=str, default=decoder_default,
                    choices=["xla", "pallas"],
                    help="soft-argmax decoder implementation")
@@ -141,7 +141,7 @@ def make_test_parser(dataset_default: str = "MSRA", msra: bool = False,
     p.add_argument("--skip_bad_samples", action="store_true",
                    help="warn and drop undecodable test samples instead of "
                         "aborting (test lists are never validity-checked)")
-    add_tpu_args(p, decoder_default="xla")
+    add_tpu_args(p)
     return p
 
 
