@@ -68,9 +68,12 @@ def main():
                         choices=["auto", "fused", "flax", "unit"],
                         help="'unit' = per-unit fused conv+instance-norm "
                              "Pallas kernels (make_unit_fused_apply); "
-                             "'fused' = whole-hourglass-kernel engine. "
-                             "'auto' uses the fastest measured supported "
-                             "config on TPU, else falls back to model.apply")
+                             "'fused' = whole-hourglass-kernel engine. Both "
+                             "are RETIRED measurement substrates (round-3 "
+                             "close-out, PERF.md: neither beats model.apply, "
+                             "and the anchored norm removed the var-pass "
+                             "read they existed to save). 'auto' = "
+                             "model.apply, the shipped serving path")
     parser.add_argument("--min_res", type=int, default=32,
                         help="unit engine: fuse hourglass ResBlocks at "
                              "resolution >= this (below it XLA wins on "

@@ -19,6 +19,17 @@ kernel's standalone deficit; block_batch=8 compiles standalone but OOMs
 VMEM inside the full jit. Parity means it ships experimental: it is the
 vehicle for future kernel-level wins, not yet a speedup.
 
+CLOSE-OUT (round 3): both engines are RETIRED from the serving path and
+kept only as measurement substrates (`bench.py --engine fused|unit`,
+golden tests). The whole-hourglass kernel never beat XLA (33.9 vs 23.3
+us/frame standalone; e2e tie at best — PERF.md), the per-unit fused-conv
+engine loses chained (8.4-8.6 vs 8.05 us/unit), and the round-3
+calibrated-anchor norm removed the var-pass read that was their reason to
+exist: the XLA path now runs one-pass stats fused into the producing
+convs, which neither kernel can beat at these shapes (XLA's conv is ~97%
+of MXU peak; Pallas per-unit glue >= the traffic it saves). The shipped
+serving path is `model.apply` (anchored norm, pallas decoder).
+
 Supported configs: instance norm, no quantization (the int8 path's conv
 epilogues are a different schedule). `make_fused_apply` raises for
 unsupported configs; callers (bench/serve/test CLI) fall back to
@@ -35,7 +46,7 @@ import jax.numpy as jnp
 from pixelwiseregression_tpu.models.layers import (
     _instance_norm,
     max_pool_2x2,
-    upsample_nearest_2x,
+    upsample_nearest_2x_add,
 )
 from pixelwiseregression_tpu.ops.pallas_hourglass import (
     hourglass_fused,
@@ -144,8 +155,7 @@ def make_unit_fused_apply(model, variables, *, min_res: int = 32,
         else:
             h = resblock(h, p["inner"])
         h = resblock(h, p["output_conv"])
-        h = upsample_nearest_2x(h)
-        return h + x1
+        return upsample_nearest_2x_add(h, x1)
 
     def head(x, p):
         for i in range(3):

@@ -27,7 +27,7 @@ from pixelwiseregression_tpu.models.layers import (
     apply_norm,
     make_norm,
     max_pool_2x2,
-    upsample_nearest_2x,
+    upsample_nearest_2x_add,
 )
 from pixelwiseregression_tpu.ops.softargmax import soft_argmax_decode
 
@@ -105,8 +105,7 @@ class Hourglass(nn.Module):
         else:
             h = ResBlock(**kw, name="inner")(h, train)
         h = ResBlock(**kw, name="output_conv")(h, train)
-        h = upsample_nearest_2x(h)
-        return h + x
+        return upsample_nearest_2x_add(h, x)
 
 
 class _Head(nn.Module):
@@ -144,6 +143,18 @@ class PredictionBlock(nn.Module):
     decoder: str = "xla"  # 'xla' | 'pallas'
     dtype: Any = jnp.float32
     quant: str | None = None  # None | 'int8' (stem+heads) | 'int8_all' (+hourglass)
+    # Inference-only fused evaluation of the two heads (exact up to conv
+    # summation order, same param tree — see models/paired_heads.py).
+    # MEASURED AND REJECTED as a default (v5e, interleaved same-process A/B,
+    # tools/bench_paired_model.py --twice): every strategy loses to the
+    # plain per-head graph — the channel slice after the merged conv_0
+    # stops XLA fusing the norm+relu into the consuming convs (the same
+    # slice-kills-fusion failure as round 2's data-anchored norm), and the
+    # block-diagonal conv_3 costs ~6 us/frame more despite identical MXU
+    # pass counts. Kept as a first-class config for future toolchains.
+    paired_heads: bool = False
+    paired_mid: str = "separate"     # conv_1/2: 'separate' | 'grouped'
+    paired_final: str = "separate"   # conv_3:   'blockdiag' | 'separate'
 
     @nn.compact
     def __call__(self, x, label_img, mask, train: bool = False):
@@ -163,24 +174,52 @@ class PredictionBlock(nn.Module):
             name="hourglass",
         )(f, train)
 
-        logits = _Head(
-            self.features,
-            self.joints,
-            self.kernel_size,
-            self.norm_method,
-            self.dtype,
-            head_quant,
-            name="plane",
-        )(f, train)
-        depthmaps = _Head(
-            self.features,
-            self.joints,
-            self.kernel_size,
-            self.norm_method,
-            self.dtype,
-            head_quant,
-            name="depth",
-        )(f, train)
+        use_paired = (
+            self.paired_heads
+            and not train
+            and not self.is_initializing()
+            and head_quant is None
+            and self.norm_method in ("instance", "instance_fast",
+                                     "instance_anchored")
+            and self.has_variable("params", "plane")
+        )
+        if use_paired:
+            from pixelwiseregression_tpu.models.paired_heads import (
+                paired_heads_apply,
+            )
+
+            has_bs = self.has_variable("batch_stats", "plane")
+            logits, depthmaps = paired_heads_apply(
+                f,
+                self.get_variable("params", "plane"),
+                self.get_variable("params", "depth"),
+                self.get_variable("batch_stats", "plane") if has_bs else None,
+                self.get_variable("batch_stats", "depth") if has_bs else None,
+                norm_method=self.norm_method,
+                dtype=self.dtype,
+                joints=self.joints,
+                mid=self.paired_mid,
+                final=self.paired_final,
+            )
+        else:
+            logits = _Head(
+                self.features,
+                self.joints,
+                self.kernel_size,
+                self.norm_method,
+                self.dtype,
+                head_quant,
+                name="plane",
+            )(f, train)
+            depthmaps = _Head(
+                self.features,
+                self.joints,
+                self.kernel_size,
+                self.norm_method,
+                self.dtype,
+                head_quant,
+                name="depth",
+            )(f, train)
 
         if self.heatmap_method == "softmax":
             w = self.param("w", nn.initializers.ones, (self.joints, 1), jnp.float32)
@@ -235,6 +274,13 @@ class PixelwiseRegression(nn.Module):
     # checkpoint serves every mode ('_static' additionally carries a
     # calibrated ``quant_scales`` collection). Inference only.
     quant: str | None = None
+    # Fused plane+depth head evaluation at inference (exact up to conv
+    # summation order; see models/paired_heads.py). Measured slower than
+    # the plain per-head graph on v5e (slice-kills-fusion; see
+    # PredictionBlock) — off by default, kept as a first-class A/B config.
+    paired_heads: bool = False
+    paired_mid: str = "separate"
+    paired_final: str = "separate"
 
     @nn.compact
     def __call__(self, img, label_img, mask, train: bool = False):
@@ -282,6 +328,9 @@ class PixelwiseRegression(nn.Module):
                 decoder=self.decoder,
                 dtype=self.dtype,
                 quant=self.quant,
+                paired_heads=self.paired_heads,
+                paired_mid=self.paired_mid,
+                paired_final=self.paired_final,
                 name=f"stage_{s}",
             )(f, label_img, mask_c, train)
             results.append((heatmaps, depthmaps, uvd))
