@@ -96,6 +96,10 @@ def main():
     parser.add_argument("--no_serving", dest="serving", action="store_false")
     args = parser.parse_args()
 
+    from pixelwiseregression_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     from jax import lax

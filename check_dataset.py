@@ -18,6 +18,10 @@ if __name__ == "__main__":
     parser.add_argument("--check_batch", type=int, default=64)
     args = parser.parse_args()
 
+    from pixelwiseregression_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     from pixelwiseregression_tpu.data.loader import stack_records
     from pixelwiseregression_tpu.data.preprocess import PreprocessConfig, preprocess_batch

@@ -56,6 +56,10 @@ def add_tpu_args(p: argparse.ArgumentParser, decoder_default: str = "pallas"):
     g.add_argument("--remat", action="store_true",
                    help="rematerialize prediction blocks on backward (less "
                         "activation memory, enables larger per-chip batches)")
+    g.add_argument("--no_compile_cache", action="store_true",
+                   help="disable the persistent XLA compilation cache "
+                        "(default dir ~/.cache/pixelwiseregression_tpu/xla; "
+                        "also PWR_COMPILE_CACHE=0 / PWR_COMPILE_CACHE_DIR)")
     g.add_argument("--matmul_precision", type=str, default=None,
                    choices=["default", "high", "highest"],
                    help="XLA matmul precision (use 'highest' for checkpoint parity)")
@@ -154,6 +158,11 @@ def apply_tpu_flags(args):
 
     if getattr(args, "matmul_precision", None):
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+    # persistent compilation cache: repeat invocations of the same config
+    # skip the ~3-4 min remote TPU compile (utils/compile_cache.py)
+    from pixelwiseregression_tpu.utils.compile_cache import maybe_enable_from_args
+
+    maybe_enable_from_args(args)
 
 
 def model_kwargs_from_args(args, joints: int, fullregression: bool = False):

@@ -72,6 +72,9 @@ class Predictor:
         on axis 0 — same pjit program as training's data parallelism
         (parallel/mesh.py), so throughput scales with the slice size.
         ``batch_size`` must divide by the device count."""
+        from pixelwiseregression_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         spec = SPECS[dataset]
 
         # honor the architecture stored in the checkpoint (reference .pt

@@ -1,0 +1,56 @@
+"""Persistent compilation cache plumbing (utils/compile_cache.py)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from pixelwiseregression_tpu.utils import compile_cache as cc
+
+
+def _reset():
+    cc._enabled_path = None
+    jax.config.update("jax_compilation_cache_dir", None)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def test_enable_writes_entries(tmp_path):
+    try:
+        path = cc.enable_compile_cache(str(tmp_path))
+        assert path == str(tmp_path)
+        # idempotent: second call returns the already-enabled dir even if
+        # asked for another path (config is process-global)
+        assert cc.enable_compile_cache("/elsewhere") == str(tmp_path)
+        # drop the persistence threshold so a small compile is stored
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+        @jax.jit
+        def f(x):
+            return jax.lax.conv_general_dilated(
+                x, jnp.ones((3, 3, 4, 8), x.dtype), (1, 1),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        f(jnp.ones((2, 16, 16, 4))).block_until_ready()
+        assert len(os.listdir(tmp_path)) > 0, "no cache entries written"
+    finally:
+        _reset()
+
+
+def test_env_optout(tmp_path, monkeypatch):
+    try:
+        monkeypatch.setenv("PWR_COMPILE_CACHE", "0")
+        assert cc.enable_compile_cache(str(tmp_path)) is None
+    finally:
+        _reset()
+
+
+def test_args_optout(tmp_path):
+    class A:
+        no_compile_cache = True
+
+    try:
+        assert cc.maybe_enable_from_args(A()) is None
+    finally:
+        _reset()
