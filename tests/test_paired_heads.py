@@ -81,6 +81,26 @@ def test_paired_equals_separate(norm_method, mid, final):
                                            rtol=1e-2, atol=atol, err_msg=msg)
 
 
+def test_paired_anchored_fallback_without_batch_stats():
+    """A torch-converted checkpoint has no batch_stats anchors: the paired
+    path must fall back to exact two-pass statistics exactly like the
+    module path does (layers.InstanceNorm's has_variable branch)."""
+    base = _build("instance_anchored", paired_heads=False)
+    inputs = _inputs()
+    variables = dict(base.init(jax.random.PRNGKey(0), *inputs, train=False))
+    variables.pop("batch_stats", None)  # simulate a converted .pt tree
+
+    ref = base.apply(variables, *inputs, train=False)
+    paired = _build("instance_anchored", paired_heads=True,
+                    paired_mid="separate", paired_final="separate")
+    got = paired.apply(variables, *inputs, train=False)
+    for stage, (r, g) in enumerate(zip(ref, got)):
+        for name, a, b in zip(("heatmaps", "depthmaps", "uvd"), r, g):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"stage {stage} {name} (anchored fallback)")
+
+
 def test_paired_off_for_training_and_quant():
     """Training (and init) must take the module path — the anchored norm's
     EMA updates live there; quant keeps its calibration plumbing."""

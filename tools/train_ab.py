@@ -76,19 +76,29 @@ def measure(norm_method, batch_size, iters, repeat, decoder):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batches", type=str, default=None,
+                    help="comma list for a batch-size sweep (one process, "
+                         "same window), e.g. 96,128,160,192")
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--decoder", type=str, default="pallas")
+    ap.add_argument("--decoders", type=str, default=None,
+                    help="comma list to A/B decoders, e.g. pallas,xla")
     ap.add_argument("--norms", type=str,
                     default="instance,instance_fast,batch")
     args = ap.parse_args()
 
     import jax
-    print(f"platform={jax.devices()[0].platform} batch={args.batch} "
-          f"decoder={args.decoder}", flush=True)
-    for nm in args.norms.split(","):
-        ms, fps = measure(nm, args.batch, args.iters, args.repeat, args.decoder)
-        print(f"  {nm:16s} {ms:7.1f} ms/step  {fps:7.1f} frames/s", flush=True)
+    batches = [int(x) for x in args.batches.split(",")] if args.batches \
+        else [args.batch]
+    decoders = args.decoders.split(",") if args.decoders else [args.decoder]
+    print(f"platform={jax.devices()[0].platform}", flush=True)
+    for b in batches:
+        for dec in decoders:
+            for nm in args.norms.split(","):
+                ms, fps = measure(nm, b, args.iters, args.repeat, dec)
+                print(f"  batch={b:4d} decoder={dec:7s} {nm:16s} "
+                      f"{ms:7.1f} ms/step  {fps:7.1f} frames/s", flush=True)
 
 
 if __name__ == "__main__":
