@@ -23,6 +23,10 @@ if __name__ == "__main__":
     import matplotlib.pyplot as plt
     import jax
 
+    from pixelwiseregression_tpu.cli.common import apply_platform_override
+
+    apply_platform_override()
+
     from pixelwiseregression_tpu.data.loader import Loader
     from pixelwiseregression_tpu.data.preprocess import PreprocessConfig, preprocess_batch
     from pixelwiseregression_tpu.data.sources import get_source

@@ -153,9 +153,26 @@ def resolve_num_workers(n: int) -> int:
     return min(n, os.cpu_count() or 1)
 
 
+def apply_platform_override():
+    """Honor ``PWR_PLATFORM`` (e.g. ``cpu``) via ``jax.config.update``.
+
+    The TPU tunnel plugin overrides the ``JAX_PLATFORMS`` env var, so env
+    alone cannot force CPU — and initializing the tunnel backend blocks
+    forever when the tunnel is down. The config update wins over the
+    plugin's selection when applied before first device use; tests and
+    offline tooling set ``PWR_PLATFORM=cpu`` to stay tunnel-independent.
+    """
+    plat = os.environ.get("PWR_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def apply_tpu_flags(args):
     import jax
 
+    apply_platform_override()
     if getattr(args, "matmul_precision", None):
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     # persistent compilation cache: repeat invocations of the same config

@@ -38,7 +38,12 @@ if __name__ == "__main__":
     import jax
     import jax.numpy as jnp
 
-    from pixelwiseregression_tpu.cli.common import model_kwargs_from_args
+    from pixelwiseregression_tpu.cli.common import (
+        apply_platform_override,
+        model_kwargs_from_args,
+    )
+
+    apply_platform_override()
     from pixelwiseregression_tpu.data.loader import Loader
     from pixelwiseregression_tpu.data.preprocess import PreprocessConfig, preprocess_batch
     from pixelwiseregression_tpu.data.sources import get_source

@@ -12,9 +12,18 @@ def _reset():
     cc._enabled_path = None
     jax.config.update("jax_compilation_cache_dir", None)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # jax pins the cache singleton to the first directory it initialized
+    # with; drop it so a dir change in this process takes effect
+    try:
+        from jax._src import compilation_cache as _jcc
+
+        _jcc.reset_cache()
+    except Exception:
+        pass
 
 
 def test_enable_writes_entries(tmp_path):
+    _reset()  # other tests (CLI e2e) may have enabled the default dir
     try:
         path = cc.enable_compile_cache(str(tmp_path))
         assert path == str(tmp_path)

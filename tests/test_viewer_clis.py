@@ -49,7 +49,12 @@ def viewer_ctx(tmp_path_factory):
 
 
 def _run(cli, argv, cwd):
-    env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
+    # PWR_PLATFORM (not just JAX_PLATFORMS): the tunnel plugin overrides
+    # the env var, so without the config-level override these subprocesses
+    # would initialize the TPU backend — and block forever when the tunnel
+    # is down (cli/common.apply_platform_override)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PWR_PLATFORM="cpu",
+               MPLBACKEND="Agg")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, cli), *argv],
         cwd=cwd, env=env, capture_output=True, text=True, timeout=600,
