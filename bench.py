@@ -94,11 +94,19 @@ def main():
                              "~0.4 mm accuracy caveat) as a third JSON "
                              "line. Default: on for TPU")
     parser.add_argument("--no_serving", dest="serving", action="store_false")
+    parser.add_argument("--tunnel_wait", type=int, default=900,
+                        help="max seconds to wait for the TPU tunnel before "
+                             "emitting an error JSON line instead of hanging "
+                             "(backend init blocks FOREVER when the axon "
+                             "tunnel is down — see CLAUDE.md). 0 = no probe")
     args = parser.parse_args()
 
+    from pixelwiseregression_tpu.cli.common import apply_platform_override
     from pixelwiseregression_tpu.utils.compile_cache import enable_compile_cache
 
+    apply_platform_override()
     enable_compile_cache()
+    _wait_for_backend(args)
 
     import jax
     import jax.numpy as jnp
@@ -110,6 +118,17 @@ def main():
         args.train = jax.devices()[0].platform == "tpu"
     if args.serving is None:
         args.serving = jax.devices()[0].platform == "tpu"
+
+    if args.engine in ("fused", "unit") and args.norm_method != "instance":
+        # both retired engines are instance-norm measurement substrates
+        # (their builders reject any other norm form); keep them runnable
+        # under the anchored default
+        import sys
+
+        print(f"# --engine {args.engine} measures the fused instance-norm "
+              f"kernels; forcing --norm_method instance "
+              f"(was {args.norm_method})", file=sys.stderr)
+        args.norm_method = "instance"
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     decoder = args.decoder
@@ -204,7 +223,8 @@ def main():
                           "the parity path",
             }), flush=True)
         except Exception as e:  # noqa: BLE001 — never lose the earlier lines
-            print(json.dumps({"metric": "serving_fps_nyu_stage1_128_int8_batchnorm",
+            print(json.dumps({"metric": f"serving_fps_nyu_stage{args.stages}"
+                                        "_128_int8_batchnorm",
                               "error": f"{type(e).__name__}: {e}"[:200]}),
                   flush=True)
 
@@ -224,6 +244,67 @@ def main():
             print(json.dumps({"metric": "train_fps_nyu_stage2_raw640x480",
                               "error": f"{type(e).__name__}: {e}"[:200]}),
                   flush=True)
+
+
+def _wait_for_backend(args):
+    """Bounded TPU-tunnel liveness gate (probe in a subprocess, retry).
+
+    When the axon tunnel is down, ANY jax backend init in this process
+    blocks with no timeout (CLAUDE.md "TPU tunnel outages") — a driver
+    running ``python bench.py`` would hang and the round would record
+    nothing. Probe ``jax.devices()`` in a killable subprocess instead,
+    retrying up to ``--tunnel_wait`` seconds (outages are often transient);
+    on final failure print the headline JSON line with an ``error`` field
+    so the record shows a documented outage, not a silent absence.
+
+    Skipped when a platform is forced via ``PWR_PLATFORM`` (offline/CPU
+    use never touches the tunnel).
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("PWR_PLATFORM") or args.tunnel_wait <= 0:
+        return
+    # tests override the probe snippet (PWR_BENCH_PROBE="raise SystemExit(1)")
+    # because the tunnel plugin overrides JAX_PLATFORMS — there is no env
+    # that makes the real probe fail deterministically while the tunnel is up
+    probe_src = os.environ.get("PWR_BENCH_PROBE", "import jax; jax.devices()")
+    deadline = time.time() + args.tunnel_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            # healthy first init through the tunnel takes ~20-40s, so the
+            # probe needs a generous timeout — but never longer than the
+            # caller's remaining wait budget
+            r = subprocess.run(
+                [sys.executable, "-c", probe_src],
+                timeout=min(150.0, max(10.0, deadline - time.time())),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            # mirror the success-path metric name exactly so the outage
+            # record lands on the same series
+            qtag = "" if args.quant == "none" else f"_{args.quant}"
+            ntag = ("" if args.norm_method == "instance_anchored"
+                    else f"_{args.norm_method}norm")
+            print(json.dumps({
+                "metric": f"inference_fps_nyu_stage{args.stages}_128{qtag}{ntag}",
+                "value": 0.0,
+                "unit": "frames/sec/chip",
+                "vs_baseline": 0.0,
+                "error": f"tpu_tunnel_down: backend init probe failed for "
+                         f"{args.tunnel_wait}s ({attempt} attempts); see "
+                         f"CLAUDE.md 'TPU tunnel outages' and PERF.md for "
+                         f"the last healthy-chip measurements",
+            }), flush=True)
+            sys.exit(0)
+        time.sleep(min(30, max(1, deadline - time.time())))
 
 
 def _measure_forward(forward, variables, img, label, mask, iters, repeat):

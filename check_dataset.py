@@ -18,8 +18,10 @@ if __name__ == "__main__":
     parser.add_argument("--check_batch", type=int, default=64)
     args = parser.parse_args()
 
+    from pixelwiseregression_tpu.cli.common import apply_platform_override
     from pixelwiseregression_tpu.utils.compile_cache import enable_compile_cache
 
+    apply_platform_override()  # PWR_PLATFORM=cpu must work tunnel-independent
     enable_compile_cache()
 
     import jax

@@ -493,17 +493,11 @@ def max_pool_2x2(x):
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
 
-def upsample_nearest_2x(x):
-    """torch F.interpolate(mode='nearest') for an exact 2x upsample
-    (reference: model.py:45 — hourglass sizes are exact powers of two)."""
-    b, h, w, c = x.shape
-    x = jnp.repeat(x, 2, axis=1)
-    x = jnp.repeat(x, 2, axis=2)
-    return x
-
-
 def upsample_nearest_2x_add(h, x):
-    """``upsample_nearest_2x(h) + x`` in one fused pass, bit-identical.
+    """Nearest 2x upsample of ``h`` plus skip ``x`` in one fused pass —
+    bit-identical to ``repeat(h, 2, axis=1).repeat(2, axis=2) + x``, i.e.
+    torch ``F.interpolate(mode='nearest')`` (reference model.py:45 —
+    hourglass sizes are exact powers of two) followed by the skip add.
 
     The repeat form materializes the upsampled tensor as standalone
     broadcast_in_dim ops before the skip add (profiled ~3.8 us/frame per

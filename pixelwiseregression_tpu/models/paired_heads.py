@@ -53,13 +53,17 @@ import jax.numpy as jnp
 from jax import lax, nn as jnn
 
 from pixelwiseregression_tpu.models.layers import (
+    InstanceNorm,
     _instance_norm,
     _instance_norm_anchored,
     _instance_norm_fast,
 )
 
 _NORM_EPS = 1e-5
-_ANCHOR_MOMENTUM = 0.9  # InstanceNorm.anchor_momentum default (layers.py)
+# single source of truth: the debias factor must use the SAME momentum the
+# InstanceNorm modules calibrated the anchors with (PixelwiseRegression
+# never overrides the class default, asserted here against drift)
+_ANCHOR_MOMENTUM = InstanceNorm.anchor_momentum
 
 
 def _conv(x, kernel, bias, *, groups: int = 1, dtype):

@@ -25,6 +25,24 @@ _DEFAULT_DIR = "~/.cache/pixelwiseregression_tpu/xla"
 _enabled_path: str | None = None
 
 
+def _host_tag() -> str:
+    """Stable fingerprint of this host's CPU feature set (first 'flags'
+    line of /proc/cpuinfo; falls back to the uname machine string)."""
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    ident = line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(ident.encode()).hexdigest()[:10]
+
+
 def enable_compile_cache(path: str | None = None) -> str | None:
     """Point jax's persistent compilation cache at ``path`` (idempotent).
 
@@ -40,6 +58,13 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     path = os.path.expanduser(
         path or os.environ.get("PWR_COMPILE_CACHE_DIR") or _DEFAULT_DIR
     )
+    # Segregate by host CPU fingerprint: jax's cache key does NOT include
+    # host machine features, and this environment can migrate across hosts
+    # — a CPU AOT executable cached on one machine loads on another with
+    # "could lead to SIGILL" errors (observed). A per-host subdir keeps
+    # every hit safe; TPU executables lose nothing (the slow remote
+    # compile is repaid within the same host anyway).
+    path = os.path.join(path, _host_tag())
     try:
         os.makedirs(path, exist_ok=True)
         import jax

@@ -26,10 +26,13 @@ def test_enable_writes_entries(tmp_path):
     _reset()  # other tests (CLI e2e) may have enabled the default dir
     try:
         path = cc.enable_compile_cache(str(tmp_path))
-        assert path == str(tmp_path)
+        # entries land in a per-host-CPU-fingerprint subdir: jax's cache
+        # key ignores host machine features, and a CPU AOT executable
+        # cached on another machine loads here with SIGILL warnings
+        assert path == os.path.join(str(tmp_path), cc._host_tag())
         # idempotent: second call returns the already-enabled dir even if
         # asked for another path (config is process-global)
-        assert cc.enable_compile_cache("/elsewhere") == str(tmp_path)
+        assert cc.enable_compile_cache("/elsewhere") == path
         # drop the persistence threshold so a small compile is stored
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -42,7 +45,7 @@ def test_enable_writes_entries(tmp_path):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         f(jnp.ones((2, 16, 16, 4))).block_until_ready()
-        assert len(os.listdir(tmp_path)) > 0, "no cache entries written"
+        assert len(os.listdir(path)) > 0, "no cache entries written"
     finally:
         _reset()
 
