@@ -34,6 +34,29 @@ from pixelwiseregression_tpu.models import PixelwiseRegression
 from pixelwiseregression_tpu.train.checkpoint import load_checkpoint
 
 
+def _build_batch(spec, batch_size: int, frames, coms, cubes):
+    """Host-side record precompute shared by live and exported serving:
+    raw frames + hand centers -> padded device-ready batch (same float64
+    crop-int semantics as the dataset sources, data/sources.py make_record)."""
+    n = frames.shape[0]
+    assert 1 <= n <= batch_size, f"request size {n} > batch_size {batch_size}"
+    if cubes is None:
+        cubes = np.full(n, spec.cube_size)
+    records = []
+    for i in range(n):
+        com = np.asarray(coms[i], np.float64)
+        cube = float(cubes[i])
+        # same load-time background bbox as the dataset sources
+        # (sources.py load_bbox; MSRA has none)
+        bbox = load_bbox(spec, com, cube) if spec.bbox_margin is not None else None
+        records.append(
+            make_record(spec, frames[i].astype(np.float64), None, com, cube, bbox)
+        )
+    batch, count = stack_records(records, pad_to=batch_size)
+    batch.pop("weight")
+    return batch, count
+
+
 @dataclasses.dataclass
 class Predictor:
     model: PixelwiseRegression
@@ -179,22 +202,7 @@ class Predictor:
         Returns dict with ``uvd`` ``[N, J, 3]`` (frame coords + mm) and
         ``xyz`` ``[N, J, 3]`` (world mm).
         """
-        n = frames.shape[0]
-        assert 1 <= n <= self.batch_size, f"request size {n} > batch_size {self.batch_size}"
-        if cubes is None:
-            cubes = np.full(n, self.spec.cube_size)
-        records = []
-        for i in range(n):
-            com = np.asarray(coms[i], np.float64)
-            cube = float(cubes[i])
-            # same load-time background bbox as the dataset sources
-            # (sources.py load_bbox; MSRA has none)
-            bbox = load_bbox(self.spec, com, cube) if self.spec.bbox_margin is not None else None
-            records.append(
-                make_record(self.spec, frames[i].astype(np.float64), None, com, cube, bbox)
-            )
-        batch, count = stack_records(records, pad_to=self.batch_size)
-        batch.pop("weight")
+        batch, count = _build_batch(self.spec, self.batch_size, frames, coms, cubes)
         if self._batch_sharding is not None:
             batch = {k: jax.device_put(v, self._batch_sharding)
                      for k, v in batch.items()}

@@ -130,3 +130,85 @@ def test_predictor_data_parallel_matches_single_chip(tmp_path):
     out_dp = dp.predict(frames, coms)
     np.testing.assert_allclose(out_dp["uvd"], out_s["uvd"], atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(out_dp["xyz"], out_s["xyz"], atol=1e-3, rtol=1e-4)
+
+
+def test_artifact_roundtrip_matches_predictor(tmp_path):
+    """export_artifact -> ServingArtifact.load: the frozen StableHLO program
+    (weights baked in, cpu+tpu lowered) reproduces the live Predictor's uvd
+    exactly on the cpu backend, needs no flax/model code to run, and rejects
+    corrupt files."""
+    from pixelwiseregression_tpu.serve_artifact import ServingArtifact, export_artifact
+
+    model = PixelwiseRegression(joints=21, stage=1, label_size=32, features=16, level=1)
+    v = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 32, 32, 1)), jnp.zeros((1, 32, 32, 1)),
+        train=False,
+    )
+    ckpt = str(tmp_path / "MSRA_x_final.ckpt")
+    save_checkpoint(ckpt, params=jax.device_get(v["params"]))
+    pred = Predictor.from_checkpoint(
+        ckpt, "MSRA", batch_size=4, stages=1, features=16, level=1, label_size=32
+    )
+
+    path = str(tmp_path / "msra.pwrsrv")
+    header = export_artifact(pred, path)
+    assert header["platforms"] == ["cpu", "tpu"]
+    assert header["dataset"] == "MSRA" and header["batch_size"] == 4
+
+    art = ServingArtifact.load(path)
+    assert art.platforms == ("cpu", "tpu")
+    frames = np.stack([_blob_frame(160, 120, 400), _blob_frame(170, 110, 420)])
+    coms = np.array([[160.0, 120.0, 400.0], [170.0, 110.0, 420.0]])
+    out_live = pred.predict(frames, coms)
+    out_art = art.predict(frames, coms)
+    np.testing.assert_allclose(out_art["uvd"], out_live["uvd"], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(out_art["xyz"], out_live["xyz"], rtol=0, atol=1e-5)
+
+    # partial batch reuses the padded executable like the live path
+    out1 = art.predict(frames[:1], coms[:1])
+    np.testing.assert_allclose(out1["uvd"][0], out_art["uvd"][0], atol=1e-5)
+
+    # corrupt magic is refused loudly
+    bad = tmp_path / "bad.pwrsrv"
+    bad.write_bytes(b"NOTANART" + b"\0" * 64)
+    try:
+        ServingArtifact.load(str(bad))
+        raise AssertionError("expected ValueError on bad magic")
+    except ValueError as e:
+        assert "bad magic" in str(e)
+
+
+def test_artifact_export_guards(tmp_path):
+    """Uncalibrated static-int8 and data_parallel predictors must refuse to
+    export (baking zero scales / mesh-sharded programs would be silent
+    garbage at serving time)."""
+    import pytest
+
+    from pixelwiseregression_tpu.serve_artifact import export_artifact
+
+    model = PixelwiseRegression(joints=21, stage=1, label_size=32, features=16, level=1)
+    v = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 32, 32, 1)), jnp.zeros((1, 32, 32, 1)),
+        train=False,
+    )
+    ckpt = str(tmp_path / "MSRA_g_final.ckpt")
+    save_checkpoint(ckpt, params=jax.device_get(v["params"]))
+    kw = dict(stages=1, features=16, level=1, label_size=32)
+
+    pq = Predictor.from_checkpoint(ckpt, "MSRA", batch_size=2,
+                                   quant="int8_static", **kw)
+    with pytest.raises(ValueError, match="calibration batches pending"):
+        export_artifact(pq, str(tmp_path / "q.pwrsrv"))
+    # after calibration it exports fine
+    frames = _blob_frame(160, 120, 400)[None]
+    coms = np.array([[160.0, 120.0, 400.0]])
+    for _ in range(pq._calib_left):
+        pq.predict(frames, coms)
+    export_artifact(pq, str(tmp_path / "q.pwrsrv"))
+
+    dp = Predictor.from_checkpoint(ckpt, "MSRA", batch_size=8,
+                                   data_parallel=True, **kw)
+    with pytest.raises(ValueError, match="data_parallel"):
+        export_artifact(dp, str(tmp_path / "dp.pwrsrv"))
