@@ -1,0 +1,170 @@
+"""Order-controlled A/B of XLA_FLAGS variants (train or inference step).
+
+XLA flags are process-global and read at backend init, so every
+measurement runs in its OWN subprocess; the parent interleaves variants
+A,B,...,A,B,... across rounds (the window-drift discipline that caught the
+phantom paired-heads win — PERF.md) and reports per-variant mins/medians.
+
+The target: the train step's gap to its ~42 ms SoL is flat conv-backward
+MXU inefficiency (PERF.md round-3 train audit) — compiler-level knobs
+(scoped VMEM budget, scheduler choices) are the remaining lever XLA
+exposes. Typical sweep:
+
+    python tools/xla_flags_ab.py --workload train \\
+        --variant base= \\
+        --variant vmem128=--xla_tpu_scoped_vmem_limit_kib=131072 \\
+        --rounds 3
+
+Each variant's measurement uses the same in-jit lax.scan methodology as
+bench.py/train_ab.py (naive host timing lies through the axon tunnel).
+"""
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _child(args):
+    # honor PWR_PLATFORM before any backend init: a dead tunnel otherwise
+    # blocks the child forever (CLAUDE.md "TPU tunnel outages")
+    from pixelwiseregression_tpu.cli.common import apply_platform_override
+
+    apply_platform_override()
+    if args.workload == "train":
+        from tools.train_ab import measure
+
+        ms, fps = measure(args.norm_method, args.batch, args.iters,
+                          args.repeat, args.decoder)
+    else:
+        ms, fps = _measure_infer(args)
+    print(json.dumps({"ms": ms, "fps": fps}), flush=True)
+
+
+def _measure_infer(args):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pixelwiseregression_tpu.models import PixelwiseRegression
+
+    ls = args.label_size
+    model = PixelwiseRegression(
+        joints=14, stage=args.stages, label_size=ls,
+        features=args.features, level=args.level,
+        norm_method=args.norm_method, dtype=jnp.bfloat16,
+        decoder=args.decoder,
+    )
+    b = args.batch
+    img = jnp.zeros((b, 2 * ls, 2 * ls, 1), jnp.float32)
+    label = jnp.zeros((b, ls, ls, 1), jnp.float32)
+    mask = jnp.ones((b, ls, ls, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, label, mask, train=False)
+
+    def make_scan(n):
+        @jax.jit
+        def run(variables, img):
+            def body(carry, i):
+                out = model.apply(variables, img + i * 1e-6, label, mask,
+                                  train=False)
+                return carry, out[-1][2].astype(jnp.float32).sum()
+            _, s = lax.scan(body, 0.0, jnp.arange(n, dtype=jnp.float32))
+            return s[-1]
+        return run
+
+    run_n, run_1 = make_scan(args.iters), make_scan(1)
+    for f in (run_1, run_n):
+        float(f(variables, img))
+    per = []
+    for _ in range(args.repeat):
+        t0 = time.perf_counter(); float(run_1(variables, img))
+        t1 = time.perf_counter(); float(run_n(variables, img))
+        t2 = time.perf_counter()
+        per.append(((t2 - t1) - (t1 - t0)) / (args.iters - 1))
+    dt = min(per)
+    return dt * 1e3, b / dt
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workload", choices=["train", "infer"], default="train")
+    ap.add_argument("--variant", action="append", default=[],
+                    help="NAME=XLA_FLAGS (empty flags = baseline); "
+                         "repeatable, measured interleaved")
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--stages", type=int, default=2)
+    ap.add_argument("--features", type=int, default=128)
+    ap.add_argument("--level", type=int, default=4)
+    ap.add_argument("--label_size", type=int, default=64)
+    ap.add_argument("--norm_method", default="instance_anchored")
+    ap.add_argument("--decoder", default="xla")
+    ap.add_argument("--timeout", type=int, default=1200,
+                    help="per-subprocess bound (compile + measure)")
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.child:
+        return _child(args)
+
+    variants = []
+    for v in args.variant or ["base="]:
+        name, _, flags = v.partition("=")
+        variants.append((name, flags))
+    if len(variants) < 2:
+        print("# single variant: measuring it alone (no A/B)", file=sys.stderr)
+
+    results = {name: [] for name, _ in variants}
+    base_cmd = [sys.executable, os.path.abspath(__file__), "--child",
+                "--workload", args.workload, "--batch", str(args.batch),
+                "--iters", str(args.iters), "--repeat", str(args.repeat),
+                "--stages", str(args.stages), "--decoder", args.decoder,
+                "--features", str(args.features), "--level", str(args.level),
+                "--label_size", str(args.label_size),
+                "--norm_method", args.norm_method]
+    for r in range(args.rounds):
+        for name, flags in variants:
+            env = dict(os.environ)
+            if flags:
+                env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+            # each child gets its own cache namespace: entries compiled with
+            # different XLA flags must not shadow each other
+            env["PWR_COMPILE_CACHE_DIR"] = os.path.expanduser(
+                f"~/.cache/pixelwiseregression_tpu/xla_ab_{name or 'base'}")
+            try:
+                out = subprocess.run(base_cmd, env=env, timeout=args.timeout,
+                                     capture_output=True, text=True, check=True)
+                rec = json.loads(out.stdout.strip().splitlines()[-1])
+            except subprocess.CalledProcessError as e:
+                print(f"round {r} {name}: FAILED\n{e.stderr[-2000:]}",
+                      file=sys.stderr)
+                continue
+            except subprocess.TimeoutExpired:
+                print(f"round {r} {name}: TIMEOUT {args.timeout}s",
+                      file=sys.stderr)
+                continue
+            results[name].append(rec["ms"])
+            print(f"round {r} {name}: {rec['ms']:.2f} ms "
+                  f"({rec['fps']:.1f} f/s)", flush=True)
+
+    print()
+    for name, flags in variants:
+        ms = results[name]
+        if not ms:
+            print(f"{name:>12}: no successful runs")
+            continue
+        print(f"{name:>12}: min {min(ms):.2f} ms  "
+              f"median {statistics.median(ms):.2f} ms  n={len(ms)}  "
+              f"[{flags or 'baseline'}]")
+
+
+if __name__ == "__main__":
+    main()
