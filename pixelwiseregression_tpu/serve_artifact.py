@@ -47,6 +47,7 @@ def export_artifact(
     pred,
     path: str,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    poly_batch: bool = False,
 ) -> Dict:
     """Freeze ``pred`` (a serve.Predictor) into a StableHLO artifact.
 
@@ -55,6 +56,13 @@ def export_artifact(
     target, so the portable default needs the XLA decoder; the Pallas
     decoder (TPU Mosaic) exports TPU-only. Static-int8 predictors must be
     fully calibrated first (their scales are baked in like any weight).
+
+    ``poly_batch=True`` exports with a SYMBOLIC batch dimension: the
+    artifact accepts any request size with no padding waste, at the cost
+    of one compile per distinct size at serving time. The default fixed
+    batch pads requests to one pre-compiled executable — the right call
+    for TPU serving; poly is for CPU/edge deployments where padding
+    compute dominates.
 
     Returns the header dict that was written.
     """
@@ -86,10 +94,20 @@ def export_artifact(
     template, _ = _build_batch(
         spec, pred.batch_size, dummy, np.array([[1.0, 1.0, 400.0]]), None
     )
-    arg_specs = {
-        k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
-        for k, v in template.items()
-    }
+    if poly_batch:
+        from jax import export as _je
+
+        b_dim = _je.symbolic_shape("b")[0]
+        arg_specs = {
+            k: jax.ShapeDtypeStruct((b_dim,) + np.shape(v)[1:],
+                                    np.asarray(v).dtype)
+            for k, v in template.items()
+        }
+    else:
+        arg_specs = {
+            k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
+            for k, v in template.items()
+        }
 
     variables = pred.variables  # baked in as module constants
     infer = pred._infer
@@ -99,7 +117,7 @@ def export_artifact(
 
     header = {
         "dataset": spec.name,
-        "batch_size": pred.batch_size,
+        "batch_size": None if poly_batch else pred.batch_size,
         "frame_h": spec.frame_h,
         "frame_w": spec.frame_w,
         "joint_number": spec.joint_number,
@@ -156,12 +174,14 @@ class ServingArtifact:
         coms: np.ndarray,
         cubes: Optional[np.ndarray] = None,
     ) -> Dict[str, np.ndarray]:
-        """Same contract as serve.Predictor.predict (uvd + world xyz)."""
+        """Same contract as serve.Predictor.predict (uvd + world xyz).
+
+        Fixed-batch artifacts pad to their compiled size; poly-batch
+        artifacts (header batch_size null) run the exact request size."""
         from pixelwiseregression_tpu.serve import _build_batch
 
-        batch, count = _build_batch(
-            self._spec, self.header["batch_size"], frames, coms, cubes
-        )
+        pad_to = self.header["batch_size"] or len(frames)
+        batch, count = _build_batch(self._spec, pad_to, frames, coms, cubes)
         uvd = np.asarray(self._exported.call(batch))[:count]
         xyz = np.asarray(self._spec.camera.uvd2xyz(uvd))
         return {"uvd": uvd, "xyz": xyz}

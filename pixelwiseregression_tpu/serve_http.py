@@ -82,7 +82,8 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001 — malformed body is a 400
             return self._reply_json(400, {"error": f"bad npz body: {e}"})
         try:
-            bs = self.meta["batch_size"]
+            # poly-batch artifacts (batch_size None) take any size in one call
+            bs = self.meta["batch_size"] or len(frames)
             uvd, xyz = [], []
             with self.lock:
                 for i in range(0, len(frames), bs):

@@ -212,3 +212,36 @@ def test_artifact_export_guards(tmp_path):
                                    data_parallel=True, **kw)
     with pytest.raises(ValueError, match="data_parallel"):
         export_artifact(dp, str(tmp_path / "dp.pwrsrv"))
+
+
+def test_artifact_poly_batch(tmp_path):
+    """poly_batch=True artifacts carry a symbolic batch dim: any request
+    size runs unpadded and matches the fixed-batch artifact's numbers."""
+    from pixelwiseregression_tpu.serve_artifact import ServingArtifact, export_artifact
+
+    model = PixelwiseRegression(joints=21, stage=1, label_size=32, features=16, level=1)
+    v = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 32, 32, 1)), jnp.zeros((1, 32, 32, 1)),
+        train=False,
+    )
+    ckpt = str(tmp_path / "MSRA_p_final.ckpt")
+    save_checkpoint(ckpt, params=jax.device_get(v["params"]))
+    pred = Predictor.from_checkpoint(
+        ckpt, "MSRA", batch_size=4, stages=1, features=16, level=1, label_size=32
+    )
+    path = str(tmp_path / "poly.pwrsrv")
+    header = export_artifact(pred, path, poly_batch=True)
+    assert header["batch_size"] is None
+
+    art = ServingArtifact.load(path)
+    frames = np.stack([_blob_frame(160, 120, 400), _blob_frame(170, 110, 420),
+                       _blob_frame(150, 130, 380)])
+    coms = np.array([[160.0, 120.0, 400.0], [170.0, 110.0, 420.0],
+                     [150.0, 130.0, 380.0]])
+    ref = pred.predict(frames, coms)["uvd"]
+    # odd size 3 (not the export-template size) and size 1 both run unpadded
+    out3 = art.predict(frames, coms)["uvd"]
+    out1 = art.predict(frames[1:2], coms[1:2])["uvd"]
+    np.testing.assert_allclose(out3, ref, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(out1[0], ref[1], rtol=0, atol=1e-4)

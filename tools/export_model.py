@@ -27,6 +27,10 @@ def main():
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets (default cpu,tpu)")
+    p.add_argument("--poly_batch", action="store_true",
+                   help="symbolic batch dim: any request size, no padding "
+                        "(compiles per size at serving time; fixed batch is "
+                        "the TPU-serving default)")
     p.add_argument("--quant", default="none",
                    help="int8_static requires --calib_npz for scale "
                         "calibration before the freeze")
@@ -75,7 +79,8 @@ def main():
         pred._calib_left = 0  # freeze whatever the data calibrated
 
     header = export_artifact(pred, args.output,
-                             platforms=args.platforms.split(","))
+                             platforms=args.platforms.split(","),
+                             poly_batch=args.poly_batch)
     size = os.path.getsize(args.output)
     print(f"wrote {args.output} ({size/1e6:.1f} MB) "
           f"platforms={header['platforms']} dataset={header['dataset']} "
