@@ -89,12 +89,19 @@ class Predictor:
         quant: Optional[str] = None,
         data_parallel: bool = False,
         quant_calib_batches: int = 4,
+        fullregression: bool = False,
     ) -> "Predictor":
         """``data_parallel=True`` serves over ALL visible chips: weights are
         replicated on a 1-D ('data',) mesh and each request batch is sharded
         on axis 0 — same pjit program as training's data parallelism
         (parallel/mesh.py), so throughput scales with the slice size.
-        ``batch_size`` must divide by the device count."""
+        ``batch_size`` must divide by the device count.
+
+        ``fullregression=True`` serves the FullRegression family
+        (train_fullregression.py checkpoints; reference model.py
+        FullRegression) — same request/response contract; int8 quant is a
+        PixelwiseRegression-only path (its convs carry the quant
+        epilogues)."""
         from pixelwiseregression_tpu.utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
@@ -115,14 +122,28 @@ class Predictor:
             filter_size = model_param.get("kernel_size", filter_size)
         image_size = label_size * 2
 
-        model = PixelwiseRegression(
-            joints=spec.joint_number, stage=stages, label_size=label_size,
-            features=features, level=level, kernel_size=filter_size,
-            norm_method=norm_method, heatmap_method=heatmap_method,
-            decoder=decoder,
-            dtype=dtype if dtype is not None else jnp.float32,
-            quant=None if quant in (None, "none") else quant,
-        )
+        if fullregression:
+            if quant not in (None, "none"):
+                raise ValueError("quant serving is PixelwiseRegression-only "
+                                 "(FullRegression convs carry no quant "
+                                 "epilogues)")
+            from pixelwiseregression_tpu.models import FullRegression
+
+            model = FullRegression(
+                joints=spec.joint_number, stage=stages,
+                label_size=label_size, features=features, level=level,
+                norm_method=norm_method,
+                dtype=dtype if dtype is not None else jnp.float32,
+            )
+        else:
+            model = PixelwiseRegression(
+                joints=spec.joint_number, stage=stages, label_size=label_size,
+                features=features, level=level, kernel_size=filter_size,
+                norm_method=norm_method, heatmap_method=heatmap_method,
+                decoder=decoder,
+                dtype=dtype if dtype is not None else jnp.float32,
+                quant=None if quant in (None, "none") else quant,
+            )
         template = model.init(
             jax.random.PRNGKey(0),
             jnp.zeros((1, image_size, image_size, 1)),
@@ -165,7 +186,8 @@ class Predictor:
             results = model.apply(
                 variables, data["img"], data["label_img"], data["mask"], train=False
             )
-            uvd = results[-1][2].astype(jnp.float32)
+            uvd = (results[-1] if fullregression else results[-1][2])
+            uvd = uvd.astype(jnp.float32)
             return recover_uvd(uvd, data["box_size"], data["com"], data["cube"])
 
         self._infer = infer

@@ -81,9 +81,10 @@ def export_artifact(
             f"predict() on representative data first so the baked scales "
             f"are real"
         )
-    if pred.model.decoder != "xla" and set(platforms) != {"tpu"}:
+    decoder = getattr(pred.model, "decoder", "xla")  # FullRegression has none
+    if decoder != "xla" and set(platforms) != {"tpu"}:
         raise ValueError(
-            f"export_artifact: decoder={pred.model.decoder!r} only lowers "
+            f"export_artifact: decoder={decoder!r} only lowers "
             f"for TPU (Mosaic); use platforms=('tpu',) or decoder='xla'"
         )
 

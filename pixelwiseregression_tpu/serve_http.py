@@ -129,6 +129,7 @@ def main(argv=None):
                    help="compiled batch size for --ckpt (artifacts carry "
                         "their own)")
     p.add_argument("--quant", default="none")
+    p.add_argument("--fullregression", action="store_true")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
@@ -152,7 +153,8 @@ def main(argv=None):
 
         pred = Predictor.from_checkpoint(
             args.ckpt, args.dataset, batch_size=args.batch_size,
-            quant=None if args.quant == "none" else args.quant)
+            quant=None if args.quant == "none" else args.quant,
+            fullregression=args.fullregression)
         meta = {"dataset": args.dataset, "batch_size": args.batch_size,
                 "backend": f"live/{jax.devices()[0].platform}"}
 

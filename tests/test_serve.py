@@ -245,3 +245,41 @@ def test_artifact_poly_batch(tmp_path):
     out1 = art.predict(frames[1:2], coms[1:2])["uvd"]
     np.testing.assert_allclose(out3, ref, rtol=0, atol=1e-4)
     np.testing.assert_allclose(out1[0], ref[1], rtol=0, atol=1e-4)
+
+
+def test_predictor_fullregression_family(tmp_path):
+    """fullregression=True serves the second model family (reference
+    model.py FullRegression) through the same predict/export contract."""
+    import pytest
+
+    from pixelwiseregression_tpu.models import FullRegression
+    from pixelwiseregression_tpu.serve_artifact import ServingArtifact, export_artifact
+
+    model = FullRegression(joints=21, stage=1, label_size=32, features=16, level=1)
+    v = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 32, 32, 1)), jnp.zeros((1, 32, 32, 1)),
+        train=False,
+    )
+    ckpt = str(tmp_path / "MSRA_fr_final.ckpt")
+    save_checkpoint(ckpt, params=jax.device_get(v["params"]))
+
+    kw = dict(batch_size=2, stages=1, features=16, level=1, label_size=32)
+    pred = Predictor.from_checkpoint(ckpt, "MSRA", fullregression=True, **kw)
+    frames = np.stack([_blob_frame(160, 120, 400), _blob_frame(170, 110, 420)])
+    coms = np.array([[160.0, 120.0, 400.0], [170.0, 110.0, 420.0]])
+    out = pred.predict(frames, coms)
+    assert out["uvd"].shape == (2, 21, 3) and np.isfinite(out["uvd"]).all()
+
+    # the artifact path carries the family too
+    path = str(tmp_path / "fr.pwrsrv")
+    export_artifact(pred, path)
+    art = ServingArtifact.load(path)
+    # export lowers a separate program; f32 re-association noise only
+    np.testing.assert_allclose(art.predict(frames, coms)["uvd"], out["uvd"],
+                               rtol=0, atol=1e-3)
+
+    # int8 quant is PixelwiseRegression-only and must refuse loudly
+    with pytest.raises(ValueError, match="PixelwiseRegression-only"):
+        Predictor.from_checkpoint(ckpt, "MSRA", fullregression=True,
+                                  quant="int8_static", **kw)

@@ -44,6 +44,8 @@ def main():
     p.add_argument("--level", type=int, default=4)
     p.add_argument("--label_size", type=int, default=64)
     p.add_argument("--norm_method", default="instance")
+    p.add_argument("--fullregression", action="store_true",
+                   help="serve/export a FullRegression-family checkpoint")
     args = p.parse_args()
 
     from pixelwiseregression_tpu.cli.common import apply_platform_override
@@ -60,6 +62,7 @@ def main():
         stages=args.stages, features=args.features, level=args.level,
         label_size=args.label_size, norm_method=args.norm_method,
         quant=None if args.quant == "none" else args.quant,
+        fullregression=args.fullregression,
     )
     if args.quant != "none" and "static" in args.quant:
         if not args.calib_npz:
