@@ -27,34 +27,11 @@ import jax
 import jax.numpy as jnp
 
 from pixelwiseregression_tpu.core.camera import recover_uvd
-from pixelwiseregression_tpu.data.loader import stack_records
 from pixelwiseregression_tpu.data.preprocess import PreprocessConfig, preprocess_batch
-from pixelwiseregression_tpu.data.sources import SPECS, load_bbox, make_record
+from pixelwiseregression_tpu.data.sources import SPECS
+from pixelwiseregression_tpu.serve_artifact import _build_batch
 from pixelwiseregression_tpu.models import PixelwiseRegression
 from pixelwiseregression_tpu.train.checkpoint import load_checkpoint
-
-
-def _build_batch(spec, batch_size: int, frames, coms, cubes):
-    """Host-side record precompute shared by live and exported serving:
-    raw frames + hand centers -> padded device-ready batch (same float64
-    crop-int semantics as the dataset sources, data/sources.py make_record)."""
-    n = frames.shape[0]
-    assert 1 <= n <= batch_size, f"request size {n} > batch_size {batch_size}"
-    if cubes is None:
-        cubes = np.full(n, spec.cube_size)
-    records = []
-    for i in range(n):
-        com = np.asarray(coms[i], np.float64)
-        cube = float(cubes[i])
-        # same load-time background bbox as the dataset sources
-        # (sources.py load_bbox; MSRA has none)
-        bbox = load_bbox(spec, com, cube) if spec.bbox_margin is not None else None
-        records.append(
-            make_record(spec, frames[i].astype(np.float64), None, com, cube, bbox)
-        )
-    batch, count = stack_records(records, pad_to=batch_size)
-    batch.pop("weight")
-    return batch, count
 
 
 @dataclasses.dataclass

@@ -16,9 +16,10 @@ StableHLO artifact:
     checkpoint — the artifact is immune to model-code drift by
     construction (StableHLO forward/backward-compatibility guarantees).
 
-Host-side record precompute (float64 crop-int semantics, serve.py
-``_build_batch``) stays in Python — it is dataset geometry, not model —
-and its parameters ride in the artifact header.
+Host-side record precompute (float64 crop-int semantics, ``_build_batch``
+below — deliberately in this flax-free module so loading an artifact never
+imports the model stack) stays in Python — it is dataset geometry, not
+model — and its parameters ride in the artifact header.
 
 Format: ``PWRSRV1\\n`` magic, uint32-LE header length, JSON header
 (dataset/batch/frame geometry + provenance), then the ``jax.export``
@@ -38,9 +39,33 @@ import numpy as np
 
 import jax
 
-from pixelwiseregression_tpu.data.sources import SPECS
+from pixelwiseregression_tpu.data.loader import stack_records
+from pixelwiseregression_tpu.data.sources import SPECS, load_bbox, make_record
 
 _MAGIC = b"PWRSRV1\n"
+
+
+def _build_batch(spec, batch_size: int, frames, coms, cubes):
+    """Host-side record precompute shared by live and exported serving:
+    raw frames + hand centers -> padded device-ready batch (same float64
+    crop-int semantics as the dataset sources, data/sources.py make_record)."""
+    n = frames.shape[0]
+    assert 1 <= n <= batch_size, f"request size {n} > batch_size {batch_size}"
+    if cubes is None:
+        cubes = np.full(n, spec.cube_size)
+    records = []
+    for i in range(n):
+        com = np.asarray(coms[i], np.float64)
+        cube = float(cubes[i])
+        # same load-time background bbox as the dataset sources
+        # (sources.py load_bbox; MSRA has none)
+        bbox = load_bbox(spec, com, cube) if spec.bbox_margin is not None else None
+        records.append(
+            make_record(spec, frames[i].astype(np.float64), None, com, cube, bbox)
+        )
+    batch, count = stack_records(records, pad_to=batch_size)
+    batch.pop("weight")
+    return batch, count
 
 
 def export_artifact(
@@ -90,8 +115,6 @@ def export_artifact(
 
     spec = pred.spec
     dummy = np.zeros((1, spec.frame_h, spec.frame_w), np.float64)
-    from pixelwiseregression_tpu.serve import _build_batch
-
     template, _ = _build_batch(
         spec, pred.batch_size, dummy, np.array([[1.0, 1.0, 400.0]]), None
     )
@@ -179,8 +202,6 @@ class ServingArtifact:
 
         Fixed-batch artifacts pad to their compiled size; poly-batch
         artifacts (header batch_size null) run the exact request size."""
-        from pixelwiseregression_tpu.serve import _build_batch
-
         pad_to = self.header["batch_size"] or len(frames)
         batch, count = _build_batch(self._spec, pad_to, frames, coms, cubes)
         uvd = np.asarray(self._exported.call(batch))[:count]

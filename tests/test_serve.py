@@ -283,3 +283,57 @@ def test_predictor_fullregression_family(tmp_path):
     with pytest.raises(ValueError, match="PixelwiseRegression-only"):
         Predictor.from_checkpoint(ckpt, "MSRA", fullregression=True,
                                   quant="int8_static", **kw)
+
+
+def test_artifact_loads_without_flax_or_model_code(tmp_path):
+    """The module docstring's deployment claim, enforced: a fresh process
+    that BLOCKS imports of flax and the model definitions can still load a
+    .pwrsrv artifact and predict (the artifact is the deployable unit)."""
+    import os
+    import subprocess
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    model = PixelwiseRegression(joints=21, stage=1, label_size=32, features=16, level=1)
+    v = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 32, 32, 1)), jnp.zeros((1, 32, 32, 1)),
+        train=False,
+    )
+    ckpt = str(tmp_path / "MSRA_nf_final.ckpt")
+    save_checkpoint(ckpt, params=jax.device_get(v["params"]))
+    pred = Predictor.from_checkpoint(
+        ckpt, "MSRA", batch_size=2, stages=1, features=16, level=1, label_size=32
+    )
+    from pixelwiseregression_tpu.serve_artifact import export_artifact
+
+    path = str(tmp_path / "nf.pwrsrv")
+    export_artifact(pred, path)
+    expect = pred.predict(np.zeros((1, 240, 320)), np.array([[160.0, 120.0, 400.0]]))
+
+    script = f"""
+import sys
+
+class _Block:
+    BLOCKED = ("flax", "pixelwiseregression_tpu.models",
+               "pixelwiseregression_tpu.serve")
+    def find_spec(self, name, *a, **k):
+        if name in self.BLOCKED or any(name.startswith(b + ".") for b in self.BLOCKED):
+            raise ImportError(f"BLOCKED at serving time: {{name}}")
+        return None
+
+sys.meta_path.insert(0, _Block())
+import jax
+jax.config.update("jax_platforms", "cpu")  # tunnel plugin overrides env vars
+import numpy as np
+from pixelwiseregression_tpu.serve_artifact import ServingArtifact
+art = ServingArtifact.load({path!r})
+out = art.predict(np.zeros((1, 240, 320)), np.array([[160.0, 120.0, 400.0]]))
+print("UVD000", float(out["uvd"][0, 0, 0]))
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PWR_PLATFORM="cpu")
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=420, env=env, cwd=repo_root)
+    assert r.returncode == 0, r.stderr[-3000:]
+    got = float(r.stdout.split("UVD000")[1].strip().split()[0])
+    assert abs(got - float(expect["uvd"][0, 0, 0])) < 1e-3
