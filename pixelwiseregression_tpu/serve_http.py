@@ -132,6 +132,10 @@ def main(argv=None):
     p.add_argument("--fullregression", action="store_true")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--no_warmup", dest="warmup", action="store_false",
+                   help="skip the startup dummy predict that pre-compiles "
+                        "the serving executable (first request pays the "
+                        "compile otherwise)")
     args = p.parse_args(argv)
 
     from pixelwiseregression_tpu.cli.common import apply_platform_override
@@ -145,6 +149,8 @@ def main(argv=None):
         pred = ServingArtifact.load(args.artifact)
         meta = {"dataset": pred.header["dataset"],
                 "batch_size": pred.header["batch_size"],
+                "frame_h": pred.header["frame_h"],
+                "frame_w": pred.header["frame_w"],
                 "backend": f"artifact{pred.platforms}"}
     else:
         if not args.dataset:
@@ -156,7 +162,20 @@ def main(argv=None):
             quant=None if args.quant == "none" else args.quant,
             fullregression=args.fullregression)
         meta = {"dataset": args.dataset, "batch_size": args.batch_size,
+                "frame_h": pred.spec.frame_h, "frame_w": pred.spec.frame_w,
                 "backend": f"live/{jax.devices()[0].platform}"}
+
+    if args.warmup and args.quant == "none":
+        # pre-compile the serving executable so the first real request is
+        # fast. Skipped for static-int8 live predictors: their first
+        # batches CALIBRATE, and an all-zero warmup frame would poison the
+        # baked activation scales.
+        import numpy as np
+
+        bs = meta["batch_size"] or 1
+        pred.predict(np.zeros((bs, meta["frame_h"], meta["frame_w"])),
+                     np.tile([[160.0, 120.0, 400.0]], (bs, 1)))
+        print("warmup predict done (executable compiled)", flush=True)
 
     srv = make_server(pred, meta, args.host, args.port)
     print(f"serving {meta} on {args.host}:{srv.server_address[1]}", flush=True)
