@@ -50,8 +50,11 @@ def _post_npz(port, **arrays):
         return np.load(io.BytesIO(r.read()))
 
 
-def _serve(pred, meta):
-    srv = make_server(pred, meta, host="127.0.0.1", port=0, access_log=False)
+def _serve(pred, meta, linger_s=0.002):
+    meta = dict(meta)
+    meta.setdefault("cube_default", 125.0)  # MSRA spec cube
+    srv = make_server(pred, meta, host="127.0.0.1", port=0, access_log=False,
+                      linger_s=linger_s)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, srv.server_address[1]
@@ -107,6 +110,7 @@ def test_http_predict_matches_direct_and_chunks(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+        srv.batcher.stop()
 
 
 def test_http_serves_frozen_artifact(tmp_path):
@@ -131,3 +135,47 @@ def test_http_serves_frozen_artifact(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_dynamic_batching_coalesces(tmp_path):
+    """Concurrent size-1 requests coalesce into shared device calls
+    (device_calls < requests in /metrics) and every caller still gets its
+    own correct rows."""
+    from pixelwiseregression_tpu.serve_http import Client
+
+    pred = _small_predictor(tmp_path, batch_size=4)
+    # long linger so the burst reliably lands in one window
+    srv, port = _serve(pred, {"dataset": "MSRA", "batch_size": 4,
+                              "backend": "live/cpu"}, linger_s=0.25)
+    try:
+        client = Client(f"http://127.0.0.1:{port}")
+        frames = [_blob_frame(150 + 5 * i, 110 + 3 * i, 380 + 10 * i)
+                  for i in range(8)]
+        direct = pred.predict(np.stack(frames[:4]),
+                              np.array([[150.0 + 5 * i, 110.0 + 3 * i,
+                                         380.0 + 10 * i] for i in range(4)]))
+
+        results = [None] * 8
+        def post(i):
+            results[i] = client.predict(
+                frames[i][None],
+                np.array([[150.0 + 5 * i, 110.0 + 3 * i, 380.0 + 10 * i]]))
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i in range(4):
+            np.testing.assert_allclose(results[i]["uvd"][0], direct["uvd"][i],
+                                       rtol=0, atol=1e-4)
+        m = client.metrics()
+        assert m["requests"] == 8 and m["frames"] == 8
+        assert m["device_calls"] < 8, f"no coalescing happened: {m}"
+        assert m["batch_fill"] > 1.0
+        assert m["latency_ms"]["p50"] > 0
+        h = client.healthz()
+        assert h["ok"] and h["batch_size"] == 4
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        srv.batcher.stop()
