@@ -350,8 +350,23 @@ def main(argv=None):
 
     srv = make_server(pred, meta, args.host, args.port,
                       linger_s=args.linger_ms / 1e3)
+
+    # graceful shutdown: finish in-flight device work, then exit 0 (the
+    # contract orchestrators expect on SIGTERM/SIGINT)
+    import signal
+
+    def _term(signum, frame):
+        print(f"signal {signum}: draining and shutting down", flush=True)
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
+    signal.signal(signal.SIGINT, _term)
+
     print(f"serving {meta} on {args.host}:{srv.server_address[1]}", flush=True)
     srv.serve_forever()
+    srv.server_close()
+    srv.batcher.stop()
+    print("shutdown complete", flush=True)
 
 
 if __name__ == "__main__":
