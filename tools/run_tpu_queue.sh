@@ -1,0 +1,36 @@
+#!/bin/bash
+# The queued TPU work from late round 3, runnable the moment the tunnel
+# returns (see memory round3-late-state / CLAUDE.md "TPU tunnel outages").
+# Everything is bounded and logs to tpu_queue_logs/; safe to re-run.
+#
+#   1. full bench.py refresh (headline + serving + train JSON lines)
+#   2. xla_flags_ab --workload train compiler-knob sweep (the prepared
+#      attack on the conv-backward gap, PERF.md round-3 train audit)
+#   3. artifact-on-TPU check (cpu-vs-tpu parity of a frozen .pwrsrv)
+#
+# Usage: bash tools/run_tpu_queue.sh   (from the repo root)
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tpu_queue_logs
+TS=$(date +%Y%m%d_%H%M%S)
+
+echo "== probe tunnel =="
+if ! timeout 180 python -c "import jax; assert jax.devices()[0].platform=='tpu'"; then
+  echo "tunnel down; aborting queue run"; exit 2
+fi
+
+echo "== 1/3 bench refresh =="
+timeout 2400 python bench.py 2>&1 | tee "tpu_queue_logs/bench_$TS.log"
+
+echo "== 2/3 train-step XLA flag sweep =="
+timeout 5400 python tools/xla_flags_ab.py --workload train \
+  --variant base= \
+  --variant vmem64="--xla_tpu_scoped_vmem_limit_kib=65536" \
+  --variant vmem128="--xla_tpu_scoped_vmem_limit_kib=131072" \
+  --rounds 3 2>&1 | tee "tpu_queue_logs/xla_flags_train_$TS.log"
+
+echo "== 3/3 artifact-on-TPU check =="
+timeout 1800 python tools/artifact_tpu_check.py 2>&1 \
+  | tee "tpu_queue_logs/artifact_check_$TS.log"
+
+echo "== queue done; logs in tpu_queue_logs/ =="
