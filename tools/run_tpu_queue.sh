@@ -29,8 +29,12 @@ timeout 5400 python tools/xla_flags_ab.py --workload train \
   --variant vmem128="--xla_tpu_scoped_vmem_limit_kib=131072" \
   --rounds 3 2>&1 | tee "tpu_queue_logs/xla_flags_train_$TS.log"
 
-echo "== 3/3 artifact-on-TPU check =="
+echo "== 3/4 artifact-on-TPU check =="
 timeout 1800 python tools/artifact_tpu_check.py 2>&1 \
   | tee "tpu_queue_logs/artifact_check_$TS.log"
+
+echo "== 4/4 stage-2 serving measurement (int8+batchnorm, never measured) =="
+timeout 2400 python bench.py --stages 2 --no_train 2>&1 \
+  | tee "tpu_queue_logs/bench_stage2_$TS.log"
 
 echo "== queue done; logs in tpu_queue_logs/ =="
