@@ -108,21 +108,31 @@ class _Batcher:
                         break
                     if nxt is None:
                         break
-                    if total + len(nxt[0]) > self.batch_size:
-                        self.q.put(nxt)  # runs in the next device call
+                    if (total + len(nxt[0]) > self.batch_size
+                            or nxt[0].shape[1:] != item[0].shape[1:]):
+                        # over capacity, or a different frame size (frames
+                        # can't share a concatenated device batch) — runs
+                        # in the next device call
+                        self.q.put(nxt)
                         break
                     group.append(nxt)
                     total += len(nxt[0])
-            self._process(group)
+            try:
+                self._process(group)
+            except Exception as e:  # noqa: BLE001 — NEVER kill the consumer
+                for g in group:
+                    if not g[3].done():
+                        g[3].set_exception(e)
 
     def _process(self, group):
-        frames = np.concatenate([g[0] for g in group])
-        coms = np.concatenate([g[1] for g in group])
-        cubes = np.concatenate([
-            g[2] if g[2] is not None else np.full(len(g[0]), self.cube_default)
-            for g in group
-        ])
         try:
+            frames = np.concatenate([g[0] for g in group])
+            coms = np.concatenate([g[1] for g in group])
+            cubes = np.concatenate([
+                g[2] if g[2] is not None
+                else np.full(len(g[0]), self.cube_default)
+                for g in group
+            ])
             out = self.predictor.predict(frames, coms, cubes)
         except Exception as e:  # noqa: BLE001 — fail the futures, not the thread
             for g in group:
@@ -195,10 +205,16 @@ class _Handler(BaseHTTPRequestHandler):
             frames = data["frames"]
             coms = data["coms"]
             cubes = data["cubes"] if "cubes" in data else None
-            if frames.ndim != 3 or coms.shape != (frames.shape[0], 3):
+            if (frames.ndim != 3 or frames.shape[0] == 0
+                    or coms.shape != (frames.shape[0], 3)):
                 return self._reply_json(400, {
-                    "error": f"want frames[N,H,W] + coms[N,3], got "
+                    "error": f"want frames[N,H,W] (N>=1) + coms[N,3], got "
                              f"{frames.shape} / {coms.shape}"})
+            want_hw = (self.meta.get("frame_h"), self.meta.get("frame_w"))
+            if want_hw[0] is not None and frames.shape[1:] != want_hw:
+                return self._reply_json(400, {
+                    "error": f"frame size {frames.shape[1:]} != compiled "
+                             f"{want_hw}"})
         except Exception as e:  # noqa: BLE001 — malformed body is a 400
             return self._reply_json(400, {"error": f"bad npz body: {e}"})
         try:

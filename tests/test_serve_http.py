@@ -53,6 +53,8 @@ def _post_npz(port, **arrays):
 def _serve(pred, meta, linger_s=0.002):
     meta = dict(meta)
     meta.setdefault("cube_default", 125.0)  # MSRA spec cube
+    meta.setdefault("frame_h", 240)  # MSRA raw frame size (as main() sets)
+    meta.setdefault("frame_w", 320)
     srv = make_server(pred, meta, host="127.0.0.1", port=0, access_log=False,
                       linger_s=linger_s)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -98,6 +100,22 @@ def test_http_predict_matches_direct_and_chunks(tmp_path):
             raise AssertionError("expected HTTP 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+        # empty request (N=0) -> 400, not a 500 from the batcher
+        try:
+            _post_npz(port, frames=np.zeros((0, 240, 320)),
+                      coms=np.zeros((0, 3)))
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # wrong frame size -> 400 (would otherwise poison the shared
+        # device batch and kill the consumer thread)
+        try:
+            _post_npz(port, frames=np.zeros((1, 64, 64)),
+                      coms=np.array([[32.0, 32.0, 400.0]]))
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "frame size" in json.loads(
+                e.read())["error"]
         # unknown route -> 404
         try:
             urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=30)
@@ -135,6 +153,49 @@ def test_http_serves_frozen_artifact(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_batcher_survives_poison_batches():
+    """The single consumer thread must outlive every failure mode: chunks
+    of different frame sizes never share a concatenated device batch, and
+    a predictor exception fails that group's futures — later submissions
+    still serve (a dead consumer would hang every future request)."""
+    from pixelwiseregression_tpu.serve_http import _Batcher
+
+    calls = []
+
+    class Stub:
+        def predict(self, frames, coms, cubes):
+            # a real device batch requires one uniform frame size
+            assert len({f.shape for f in frames}) == 1
+            calls.append(frames.shape)
+            if frames.shape[1] == 13:  # designated poison size
+                raise RuntimeError("boom")
+            n = len(frames)
+            return {"uvd": np.zeros((n, 21, 3)), "xyz": np.zeros((n, 21, 3))}
+
+    b = _Batcher(Stub(), batch_size=4, cube_default=125.0, linger_s=0.2)
+    try:
+        # two different frame sizes submitted into one linger window must
+        # land in separate device calls, both succeeding
+        f_a = b.submit(np.zeros((1, 10, 10)), np.zeros((1, 3)), None)
+        f_b = b.submit(np.zeros((1, 12, 12)), np.zeros((1, 3)), None)
+        assert f_a[0].result(timeout=30)["uvd"].shape == (1, 21, 3)
+        assert f_b[0].result(timeout=30)["uvd"].shape == (1, 21, 3)
+        assert len(calls) == 2, f"mixed-size chunks shared a batch: {calls}"
+
+        # a predictor exception fails ITS futures but not the thread
+        f_bad = b.submit(np.zeros((2, 13, 13)), np.zeros((2, 3)), None)
+        try:
+            f_bad[0].result(timeout=30)
+            raise AssertionError("expected the poison batch to fail")
+        except RuntimeError as e:
+            assert "boom" in str(e)
+        f_ok = b.submit(np.zeros((1, 10, 10)), np.zeros((1, 3)), None)
+        assert f_ok[0].result(timeout=30)["uvd"].shape == (1, 21, 3)
+        assert b.thread.is_alive()
+    finally:
+        b.stop()
 
 
 def test_http_dynamic_batching_coalesces(tmp_path):
