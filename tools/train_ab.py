@@ -18,7 +18,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(norm_method, batch_size, iters, repeat, decoder):
+def measure(norm_method, batch_size, iters, repeat, decoder,
+            compiler_options=None):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -49,7 +50,6 @@ def measure(norm_method, batch_size, iters, repeat, decoder):
     raw_step = make_train_step(cfg, LossConfig(), augment=True, jit=False)
 
     def make_scan(n):
-        @jax.jit
         def run(state, batch):
             def body(st, i):
                 b2 = dict(batch)
@@ -58,7 +58,10 @@ def measure(norm_method, batch_size, iters, repeat, decoder):
                 return st, metrics["loss"]
             st, losses = lax.scan(body, state, jnp.arange(n))
             return losses[-1]
-        return run
+        # compiler_options go to the SERVER-side TPU compiler (per-jit
+        # env_option_overrides) — the axon plugin's client flag parser
+        # rejects xla_tpu_* names in XLA_FLAGS, this path doesn't.
+        return jax.jit(run, compiler_options=compiler_options)
 
     run_n, run_1 = make_scan(iters), make_scan(1)
     for f in (run_1, run_n):

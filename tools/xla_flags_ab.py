@@ -1,18 +1,32 @@
-"""Order-controlled A/B of XLA_FLAGS variants (train or inference step).
+"""Order-controlled A/B of XLA compiler-knob variants (train or infer step).
 
-XLA flags are process-global and read at backend init, so every
-measurement runs in its OWN subprocess; the parent interleaves variants
-A,B,...,A,B,... across rounds (the window-drift discipline that caught the
-phantom paired-heads win — PERF.md) and reports per-variant mins/medians.
+Two ways to express a variant:
+
+  NAME=--xla_flag=...            client-side XLA_FLAGS (process-global,
+                                 read at backend init)
+  NAME=copt:key=value[,k2=v2]    per-jit ``compiler_options`` — forwarded
+                                 to the SERVER-side TPU compiler as
+                                 env_option_overrides. This is the ONLY
+                                 route for ``xla_tpu_*`` knobs here: the
+                                 axon PJRT plugin's client flag parser
+                                 aborts on them in XLA_FLAGS (measured
+                                 2026-08-18: "Unknown flag in XLA_FLAGS"),
+                                 while the remote-compile path accepts
+                                 them (and rejects bogus names with an
+                                 HTTP 500, so acceptance is validation).
 
 The target: the train step's gap to its ~42 ms SoL is flat conv-backward
 MXU inefficiency (PERF.md round-3 train audit) — compiler-level knobs
 (scoped VMEM budget, scheduler choices) are the remaining lever XLA
-exposes. Typical sweep:
+exposes. Every measurement runs in its OWN subprocess (uniform for both
+variant kinds: cache-namespace hygiene + isolation from a wedged tunnel);
+the parent interleaves variants A,B,...,A,B,... across rounds (the
+window-drift discipline that caught the phantom paired-heads win —
+PERF.md) and reports per-variant mins/medians. Typical sweep:
 
     python tools/xla_flags_ab.py --workload train \\
         --variant base= \\
-        --variant vmem128=--xla_tpu_scoped_vmem_limit_kib=131072 \\
+        --variant vmem128=copt:xla_tpu_scoped_vmem_limit_kib=131072 \\
         --rounds 3
 
 Each variant's measurement uses the same in-jit lax.scan methodology as
@@ -37,17 +51,30 @@ def _child(args):
     from pixelwiseregression_tpu.cli.common import apply_platform_override
 
     apply_platform_override()
+    copts = _parse_copts(args.copts) if args.copts else None
     if args.workload == "train":
         from tools.train_ab import measure
 
         ms, fps = measure(args.norm_method, args.batch, args.iters,
-                          args.repeat, args.decoder)
+                          args.repeat, args.decoder, compiler_options=copts)
     else:
-        ms, fps = _measure_infer(args)
+        ms, fps = _measure_infer(args, copts)
     print(json.dumps({"ms": ms, "fps": fps}), flush=True)
 
 
-def _measure_infer(args):
+def _parse_copts(spec: str) -> dict:
+    """'k=v,k2=v2' -> {'k': 'v', 'k2': 'v2'} (values stay strings; the
+    server-side flag parser does the typing)."""
+    out = {}
+    for pair in spec.split(","):
+        k, sep, v = pair.partition("=")
+        if not sep or not k:
+            raise SystemExit(f"bad compiler-option pair {pair!r} in {spec!r}")
+        out[k] = v
+    return out
+
+
+def _measure_infer(args, compiler_options=None):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -68,7 +95,6 @@ def _measure_infer(args):
     variables = model.init(jax.random.PRNGKey(0), img, label, mask, train=False)
 
     def make_scan(n):
-        @jax.jit
         def run(variables, img):
             def body(carry, i):
                 out = model.apply(variables, img + i * 1e-6, label, mask,
@@ -76,7 +102,7 @@ def _measure_infer(args):
                 return carry, out[-1][2].astype(jnp.float32).sum()
             _, s = lax.scan(body, 0.0, jnp.arange(n, dtype=jnp.float32))
             return s[-1]
-        return run
+        return jax.jit(run, compiler_options=compiler_options)
 
     run_n, run_1 = make_scan(args.iters), make_scan(1)
     for f in (run_1, run_n):
@@ -107,9 +133,11 @@ def main():
     ap.add_argument("--label_size", type=int, default=64)
     ap.add_argument("--norm_method", default="instance_anchored")
     ap.add_argument("--decoder", default="xla")
-    ap.add_argument("--timeout", type=int, default=1200,
-                    help="per-subprocess bound (compile + measure)")
+    ap.add_argument("--timeout", type=int, default=1800,
+                    help="per-subprocess bound (compile + measure; cold "
+                         "train-step compiles on a 1-core host run ~10 min)")
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--copts", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.child:
@@ -133,14 +161,17 @@ def main():
     for r in range(args.rounds):
         for name, flags in variants:
             env = dict(os.environ)
-            if flags:
+            cmd = list(base_cmd)
+            if flags.startswith("copt:"):
+                cmd += ["--copts", flags[len("copt:"):]]
+            elif flags:
                 env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
             # each child gets its own cache namespace: entries compiled with
             # different XLA flags must not shadow each other
             env["PWR_COMPILE_CACHE_DIR"] = os.path.expanduser(
                 f"~/.cache/pixelwiseregression_tpu/xla_ab_{name or 'base'}")
             try:
-                out = subprocess.run(base_cmd, env=env, timeout=args.timeout,
+                out = subprocess.run(cmd, env=env, timeout=args.timeout,
                                      capture_output=True, text=True, check=True)
                 rec = json.loads(out.stdout.strip().splitlines()[-1])
             except subprocess.CalledProcessError as e:
