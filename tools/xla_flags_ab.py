@@ -1,9 +1,17 @@
 """Order-controlled A/B of XLA compiler-knob variants (train or infer step).
 
-Two ways to express a variant:
+Three ways to express a variant:
 
   NAME=--xla_flag=...            client-side XLA_FLAGS (process-global,
                                  read at backend init)
+  NAME=arg:key=value[,k2=v2]     per-variant WORKLOAD args (batch, iters,
+                                 norm_method, decoder, stages, ...) —
+                                 turns the harness into a general
+                                 order-controlled config A/B (e.g. a
+                                 batch-size sweep: --variant b256= \
+                                 --variant b512=arg:batch=512). Compare
+                                 the per-round f/s, not ms, when batch
+                                 differs.
   NAME=copt:key=value[,k2=v2]    per-jit ``compiler_options`` — forwarded
                                  to the SERVER-side TPU compiler as
                                  env_option_overrides. This is the ONLY
@@ -151,21 +159,33 @@ def main():
         print("# single variant: measuring it alone (no A/B)", file=sys.stderr)
 
     results = {name: [] for name, _ in variants}
-    base_cmd = [sys.executable, os.path.abspath(__file__), "--child",
-                "--workload", args.workload, "--batch", str(args.batch),
-                "--iters", str(args.iters), "--repeat", str(args.repeat),
-                "--stages", str(args.stages), "--decoder", args.decoder,
-                "--features", str(args.features), "--level", str(args.level),
-                "--label_size", str(args.label_size),
-                "--norm_method", args.norm_method]
+    child_args = {"workload": args.workload, "batch": args.batch,
+                  "iters": args.iters, "repeat": args.repeat,
+                  "stages": args.stages, "decoder": args.decoder,
+                  "features": args.features, "level": args.level,
+                  "label_size": args.label_size,
+                  "norm_method": args.norm_method}
     for r in range(args.rounds):
         for name, flags in variants:
             env = dict(os.environ)
-            cmd = list(base_cmd)
+            ca = dict(child_args)
+            copts = None
             if flags.startswith("copt:"):
-                cmd += ["--copts", flags[len("copt:"):]]
+                copts = flags[len("copt:"):]
+            elif flags.startswith("arg:"):
+                for k, v in _parse_copts(flags[len("arg:"):]).items():
+                    if k not in ca:
+                        raise SystemExit(f"unknown workload arg {k!r} in "
+                                         f"variant {name!r} (valid: "
+                                         f"{sorted(ca)})")
+                    ca[k] = v
             elif flags:
                 env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+            cmd = [sys.executable, os.path.abspath(__file__), "--child"]
+            for k, v in ca.items():
+                cmd += [f"--{k}", str(v)]
+            if copts:
+                cmd += ["--copts", copts]
             # each child gets its own cache namespace: entries compiled with
             # different XLA flags must not shadow each other
             env["PWR_COMPILE_CACHE_DIR"] = os.path.expanduser(
@@ -182,18 +202,21 @@ def main():
                 print(f"round {r} {name}: TIMEOUT {args.timeout}s",
                       file=sys.stderr)
                 continue
-            results[name].append(rec["ms"])
+            results[name].append((rec["ms"], rec["fps"]))
             print(f"round {r} {name}: {rec['ms']:.2f} ms "
                   f"({rec['fps']:.1f} f/s)", flush=True)
 
     print()
     for name, flags in variants:
-        ms = results[name]
-        if not ms:
+        recs = results[name]
+        if not recs:
             print(f"{name:>12}: no successful runs")
             continue
+        ms = [m for m, _ in recs]
+        fps = [f for _, f in recs]
         print(f"{name:>12}: min {min(ms):.2f} ms  "
-              f"median {statistics.median(ms):.2f} ms  n={len(ms)}  "
+              f"median {statistics.median(ms):.2f} ms  "
+              f"best {max(fps):.1f} f/s  n={len(ms)}  "
               f"[{flags or 'baseline'}]")
 
 
