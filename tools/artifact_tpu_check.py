@@ -30,7 +30,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _child(args):
-    os.environ["PWR_PLATFORM"] = args.platform
+    # 'tpu' must ride the DEFAULT backend: the axon tunnel registers as its
+    # own PJRT plugin (devices report .platform == 'tpu', but the plugin
+    # name is 'axon'), so forcing jax_platforms='tpu' selects the LOCAL
+    # libtpu plugin instead — which fails with "No jellyfish device found"
+    # on a chipless host (observed in the round-3 queue run). Only non-tpu
+    # platforms need the explicit override.
+    if args.platform == "tpu":
+        os.environ.pop("PWR_PLATFORM", None)
+    else:
+        os.environ["PWR_PLATFORM"] = args.platform
     sys.path.insert(0, REPO)
     from pixelwiseregression_tpu.cli.common import apply_platform_override
 
