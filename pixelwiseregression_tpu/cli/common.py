@@ -63,6 +63,13 @@ def add_tpu_args(p: argparse.ArgumentParser, decoder_default: str = "pallas"):
     g.add_argument("--matmul_precision", type=str, default=None,
                    choices=["default", "high", "highest"],
                    help="XLA matmul precision (use 'highest' for checkpoint parity)")
+    g.add_argument("--compiler_opts", type=str, default=None, metavar="K=V[,K2=V2]",
+                   help="per-jit XLA compiler options forwarded to the "
+                        "backend compiler as env_option_overrides — the only "
+                        "route for xla_tpu_* knobs under the TPU tunnel "
+                        "(client-side XLA_FLAGS aborts on them; see "
+                        "tools/xla_flags_ab.py). Example: "
+                        "xla_tpu_enable_latency_hiding_scheduler=false")
     g.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of a few training steps into DIR")
     g.add_argument("--resume", type=str, default=None, metavar="CKPT",
@@ -167,6 +174,24 @@ def apply_platform_override():
         import jax
 
         jax.config.update("jax_platforms", plat)
+
+
+def parse_compiler_opts(s):
+    """``'k=v[,k2=v2]'`` → dict for ``jax.jit(compiler_options=...)``.
+
+    Returns None for empty/None input (jit's default). Values stay
+    strings — the XLA option parser coerces them server-side.
+    """
+    if not s:
+        return None
+    out = {}
+    for part in s.split(","):
+        k, _, v = part.partition("=")
+        if not k.strip() or not v.strip():
+            raise SystemExit(
+                f"bad --compiler_opts entry {part!r} (expected key=value)")
+        out[k.strip()] = v.strip()
+    return out
 
 
 def apply_tpu_flags(args):

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -21,6 +22,7 @@ import jax.numpy as jnp
 from pixelwiseregression_tpu.cli.common import (
     apply_tpu_flags,
     model_kwargs_from_args,
+    parse_compiler_opts,
     resolve_num_workers,
 )
 from pixelwiseregression_tpu.core.camera import recover_uvd
@@ -82,7 +84,9 @@ def run_inference(args, dataset_name: str, fullregression: bool = False, subject
     if ckpt["batch_stats"]:
         variables["batch_stats"] = ckpt["batch_stats"]
 
-    @jax.jit
+    copts = parse_compiler_opts(getattr(args, "compiler_opts", None))
+
+    @partial(jax.jit, compiler_options=copts)
     def infer(batch):
         data = preprocess_batch(batch, jax.random.PRNGKey(0), pp, test_only=True)
         results = model.apply(variables, data["img"], data["label_img"], data["mask"], train=False)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from pixelwiseregression_tpu.cli.common import (
     apply_tpu_flags,
     model_kwargs_from_args,
+    parse_compiler_opts,
     resolve_num_workers,
 )
 from pixelwiseregression_tpu.data.loader import Loader
@@ -173,11 +174,14 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
         lambda_d=getattr(args, "lambda_d", 0.01),
         alpha=getattr(args, "alpha", 1.0),
     )
+    copts = parse_compiler_opts(getattr(args, "compiler_opts", None))
     if fullregression:
-        train_step = make_train_step_fullreg(pp_train, donate=True)
+        train_step = make_train_step_fullreg(pp_train, donate=True,
+                                             compiler_options=copts)
         eval_step = make_eval_step_fullreg(pp_val, spec.camera)
     else:
-        train_step = make_train_step(pp_train, loss_cfg, augment=True)
+        train_step = make_train_step(pp_train, loss_cfg, augment=True,
+                                     compiler_options=copts)
         eval_step = make_eval_step(pp_val, loss_cfg, spec.camera)
 
     log_name = f"{dataset_name}_{args.suffix}"
@@ -347,7 +351,7 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
 # train_fullregression.py:161-192) ----
 
 
-def make_train_step_fullreg(preprocess_cfg, donate=True):
+def make_train_step_fullreg(preprocess_cfg, donate=True, compiler_options=None):
     import optax
     from pixelwiseregression_tpu.data.preprocess import preprocess_batch
 
@@ -382,7 +386,8 @@ def make_train_step_fullreg(preprocess_cfg, donate=True):
         sl = jnp.stack([jnp.zeros_like(per_stage), jnp.zeros_like(per_stage), per_stage], axis=1)
         return new_state, {"loss": loss, "stage_losses": sl}
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   compiler_options=compiler_options)
 
 
 def make_eval_step_fullreg(preprocess_cfg, camera):

@@ -19,6 +19,7 @@ Example:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, Optional
 
 import numpy as np
@@ -67,6 +68,7 @@ class Predictor:
         data_parallel: bool = False,
         quant_calib_batches: int = 4,
         fullregression: bool = False,
+        compiler_options: Optional[Dict[str, str]] = None,
     ) -> "Predictor":
         """``data_parallel=True`` serves over ALL visible chips: weights are
         replicated on a 1-D ('data',) mesh and each request batch is sharded
@@ -157,7 +159,9 @@ class Predictor:
                    batch_size=batch_size, _mesh=mesh, _batch_sharding=bsh,
                    _calib_left=quant_calib_batches)
 
-        @jax.jit
+        # compiler_options: per-jit env_option_overrides for the backend
+        # compiler (xla_tpu_* knobs — the tunnel rejects them via XLA_FLAGS)
+        @partial(jax.jit, compiler_options=compiler_options)
         def infer(variables, batch):
             data = preprocess_batch(batch, jax.random.PRNGKey(0), cfg, test_only=True)
             results = model.apply(

@@ -135,6 +135,7 @@ def make_train_step(
     augment: bool = True,
     donate: bool = True,
     jit: bool = True,
+    compiler_options: Optional[Dict[str, str]] = None,
 ):
     """Build the jitted train step.
 
@@ -144,7 +145,9 @@ def make_train_step(
     (keys: img, label_img, mask, uvd, heatmaps, dmaps).
 
     ``jit=False`` returns the raw python step for embedding in an outer
-    jit/scan (bench.py's in-jit timing loop).
+    jit/scan (bench.py's in-jit timing loop). ``compiler_options`` are
+    per-jit env_option_overrides for the backend compiler — the only route
+    for ``xla_tpu_*`` knobs under the TPU tunnel (``--compiler_opts``).
     """
 
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
@@ -196,13 +199,15 @@ def make_train_step(
     # donate both the state AND the raw batch: the frame buffers are the
     # largest per-step HBM allocations and are re-uploaded fresh every step,
     # so giving them back to the allocator lets preprocessing reuse them
-    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    return jax.jit(step, donate_argnums=(0, 1) if donate else (),
+                   compiler_options=compiler_options)
 
 
 def make_eval_step(
     preprocess_cfg: Optional[PreprocessConfig],
     loss_cfg: LossConfig,
     camera: Camera,
+    compiler_options: Optional[Dict[str, str]] = None,
 ):
     """Jitted eval step: losses + per-stage mean 3D joint error (mm).
 
@@ -252,4 +257,4 @@ def make_eval_step(
             "count": jnp.sum(weight),
         }
 
-    return jax.jit(step)
+    return jax.jit(step, compiler_options=compiler_options)
