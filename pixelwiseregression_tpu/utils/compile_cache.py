@@ -64,6 +64,10 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     # "could lead to SIGILL" errors (observed). A per-host subdir keeps
     # every hit safe; TPU executables lose nothing (the slow remote
     # compile is repaid within the same host anyway).
+    # (XLA:CPU's AOT loader still prints "+prefer-no-scatter ... not
+    # supported on the host machine" on SAME-host reloads — those two are
+    # its own tuning preferences, not CPU features, and the executables
+    # run fine; the per-host subdir is what guards the real SIGILL class.)
     path = os.path.join(path, _host_tag())
     try:
         os.makedirs(path, exist_ok=True)
