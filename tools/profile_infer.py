@@ -29,6 +29,10 @@ def main():
     p.add_argument("--dtype", type=str, default="bf16")
     p.add_argument("--decoder", type=str, default="xla")
     p.add_argument("--norm_method", type=str, default="instance")
+    p.add_argument("--quant", type=str, default="",
+                   help="int8[_static][_all|_heads] — profile the serving "
+                        "quant path (static scales calibrated in one "
+                        "mutable pass)")
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--top", type=int, default=40)
     args = p.parse_args()
@@ -45,7 +49,7 @@ def main():
         joints=args.joints, stage=args.stages, label_size=64,
         features=args.features, level=args.level,
         norm_method=args.norm_method, heatmap_method="softmax",
-        decoder=args.decoder, dtype=dtype,
+        decoder=args.decoder, dtype=dtype, quant=(args.quant or None),
     )
     b = args.batch_size
     rng = np.random.RandomState(0)
@@ -53,6 +57,10 @@ def main():
     label = jnp.asarray(rng.rand(b, 64, 64, 1), jnp.float32)
     mask = jnp.asarray((rng.rand(b, 64, 64, 1) > 0.3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img[:1], label[:1], mask[:1], train=False)
+    if args.quant and "static" in args.quant:
+        _, upd = model.apply(variables, img, label, mask, train=False,
+                             mutable=["quant_scales"])
+        variables = dict(variables, **upd)
 
     @jax.jit
     def run(variables, img, label, mask):

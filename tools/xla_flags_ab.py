@@ -94,16 +94,27 @@ def _measure_infer(args, compiler_options=None):
         joints=14, stage=args.stages, label_size=ls,
         features=args.features, level=args.level,
         norm_method=args.norm_method, dtype=jnp.bfloat16,
-        decoder=args.decoder,
+        decoder=args.decoder, quant=(args.quant or None),
     )
     b = args.batch
     img = jnp.zeros((b, 2 * ls, 2 * ls, 1), jnp.float32)
     label = jnp.zeros((b, ls, ls, 1), jnp.float32)
     mask = jnp.ones((b, ls, ls, 1), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), img, label, mask, train=False)
+    variables = model.init(jax.random.PRNGKey(0), img[:1], label[:1],
+                           mask[:1], train=False)
+    if args.quant and "static" in args.quant:
+        # calibrate the static activation scales with one mutable pass
+        # (same recipe as bench._bench_serving_config)
+        _, upd = model.apply(variables, img, label, mask, train=False,
+                             mutable=["quant_scales"])
+        variables = dict(variables, **upd)
 
     def make_scan(n):
-        def run(variables, img):
+        # label/mask must be ARGUMENTS: a closure capture bakes them into
+        # the executable as constants, and at batch>=512 the constant
+        # materialization alone RESOURCE_EXHAUSTs the TPU backend during
+        # lowering (observed 2026-08-18 queue window).
+        def run(variables, img, label, mask):
             def body(carry, i):
                 out = model.apply(variables, img + i * 1e-6, label, mask,
                                   train=False)
@@ -114,11 +125,11 @@ def _measure_infer(args, compiler_options=None):
 
     run_n, run_1 = make_scan(args.iters), make_scan(1)
     for f in (run_1, run_n):
-        float(f(variables, img))
+        float(f(variables, img, label, mask))
     per = []
     for _ in range(args.repeat):
-        t0 = time.perf_counter(); float(run_1(variables, img))
-        t1 = time.perf_counter(); float(run_n(variables, img))
+        t0 = time.perf_counter(); float(run_1(variables, img, label, mask))
+        t1 = time.perf_counter(); float(run_n(variables, img, label, mask))
         t2 = time.perf_counter()
         per.append(((t2 - t1) - (t1 - t0)) / (args.iters - 1))
     dt = min(per)
@@ -141,6 +152,9 @@ def main():
     ap.add_argument("--label_size", type=int, default=64)
     ap.add_argument("--norm_method", default="instance_anchored")
     ap.add_argument("--decoder", default="xla")
+    ap.add_argument("--quant", default="",
+                    help="infer workload only: int8[_static][_all|_heads] "
+                         "(static scales calibrated with one mutable pass)")
     ap.add_argument("--timeout", type=int, default=1800,
                     help="per-subprocess bound (compile + measure; cold "
                          "train-step compiles on a 1-core host run ~10 min)")
@@ -164,7 +178,7 @@ def main():
                   "stages": args.stages, "decoder": args.decoder,
                   "features": args.features, "level": args.level,
                   "label_size": args.label_size,
-                  "norm_method": args.norm_method}
+                  "norm_method": args.norm_method, "quant": args.quant}
     for r in range(args.rounds):
         for name, flags in variants:
             env = dict(os.environ)
