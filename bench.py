@@ -24,10 +24,24 @@ length-1 baseline measured the same way:
     per_iter = (T(scan N) - T(scan 1)) / (N - 1)
 
 which cancels upload, dispatch and fetch overheads.
+
+Estimator robustness (round-4 hardening): a subtraction-based estimator
+can go NEGATIVE when the scan-1 window absorbs more tunnel/fetch overhead
+than the scan-N window — BENCH_r03 recorded a physically meaningless
+-7,655.9 fps serving line exactly this way, while the same config measured
+12,289 fps an hour earlier. So every reported line now (a) collects
+``--repeat`` (default 4) delta samples, (b) REJECTS non-positive deltas
+and keeps sampling until >=3 positive samples (bounded), (c) reports the
+MEDIAN of the positive samples, and (d) carries ``samples``/``spread_pct``
+fields so window quality is visible in the record. The headline and
+serving lines are sampled INTERLEAVED (headline, serving, headline, ...)
+so both share window conditions (PERF.md: the serving config drifts
+12.2-13.2k across windows).
 """
 
 import argparse
 import json
+import statistics
 import time
 
 import numpy as np
@@ -37,7 +51,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=256)
     parser.add_argument("--iters", type=int, default=16)
-    parser.add_argument("--repeat", type=int, default=2)
+    parser.add_argument("--repeat", type=int, default=4,
+                        help="timing samples per metric (>=4; the estimator "
+                             "additionally re-measures until >=3 POSITIVE "
+                             "deltas and reports their median + spread)")
     parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--decoder", type=str, default="pallas", choices=["xla", "pallas"],
                         help="fused Pallas decoder (default, matches the CLI "
@@ -173,8 +190,24 @@ def main():
         forward = lambda variables, im, la, ma: model.apply(
             variables, im, la, ma, train=False)
 
-    fps = _measure_forward(forward, variables, img, label, mask,
-                           args.iters, args.repeat)
+    headline_sampler = _make_forward_sampler(
+        forward, variables, img, label, mask, args.iters)
+
+    # Build the serving sampler BEFORE timing so the headline and serving
+    # lines can be sampled interleaved (shared window conditions — PERF.md:
+    # the serving config is the one most sensitive to window drift). A
+    # serving build failure degrades to headline-only, never loses it.
+    serving_sampler, serving_err = None, None
+    if args.serving:
+        try:
+            serving_sampler = _make_serving_sampler(args)
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            serving_err = f"{type(e).__name__}: {e}"[:200]
+
+    samplers = [headline_sampler] + ([serving_sampler] if serving_sampler else [])
+    estimates = _interleaved_estimate(samplers, args.repeat)
+    per_frame, quality = estimates[0]
+    fps = args.batch_size / per_frame
 
     qtag = "" if args.quant == "none" else f"_{args.quant}"
     # the default (anchored) config carries the bare headline metric name;
@@ -190,6 +223,7 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 10000.0, 4),
         "engine": engine,
+        **quality,
     }), flush=True)
 
     # Chip-health reference: a fixed CHAINED bf16 matmul loop. It is
@@ -210,35 +244,53 @@ def main():
             pass
 
     if args.serving:
-        try:
-            sfps = _bench_serving_config(args)
+        if serving_sampler is not None:
+            sper, squality = estimates[1]
+            sfps = args.batch_size / sper
             print(json.dumps({
                 "metric": f"serving_fps_nyu_stage{args.stages}_128_int8_batchnorm",
                 "value": round(sfps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(sfps / 10000.0, 4),
+                **squality,
                 "caveat": "int8_static_all + batch norm: fastest supported "
                           "serving mode; measured accuracy cost ~0.4 mm "
                           "mean per-joint vs f32 (PERF.md) — opt-in, not "
-                          "the parity path",
+                          "the parity path; sampled interleaved with the "
+                          "headline line (shared window)",
             }), flush=True)
-        except Exception as e:  # noqa: BLE001 — never lose the earlier lines
+        else:
             print(json.dumps({"metric": f"serving_fps_nyu_stage{args.stages}"
                                         "_128_int8_batchnorm",
-                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                              "error": serving_err}),
                   flush=True)
 
     if args.train:
         try:
             record = bench_train(args)
+            # Speed-of-light context (VERDICT r3 item 3): 2-stage fwd is
+            # 21.8 GFLOP/frame (PERF.md FLOP table); backward costs ~2x
+            # forward (dx + dW conv pairs — the StableHLO audit counted
+            # exact backward pairs for all 88 forward convs), so fwd+bwd
+            # ~= 65.4 GFLOP/frame. v5e bf16 peak 197 TFLOP/s => SoL
+            # ~3,012 f/s at 100% MXU utilization — the 3k "baseline" IS
+            # speed-of-light; measured realistic ceiling is ~75-80% SoL
+            # (~2.3-2.5k, PERF.md round-2 reality check).
+            sol_fps = 197.0e12 / (3 * 21.8e9)
             print(json.dumps({
                 "metric": "train_fps_nyu_stage2_raw640x480",
                 "value": record["train_fps"],
                 "unit": "frames/sec/chip",
                 # reference hot loop baseline: north-star >3k frames/s
                 "vs_baseline": round(record["train_fps"] / 3000.0, 4),
+                "sol_frames_per_sec": round(sol_fps),
+                "pct_of_sol": round(100.0 * record["train_fps"] / sol_fps, 1),
+                "sol_note": "baseline 3k = 100% MXU speed-of-light for "
+                            "2-stage fwd+bwd (3x21.8 GFLOP/frame at 197 "
+                            "bf16 TFLOP/s); measured ceiling ~75-80% SoL",
                 "ms_per_step": record["train_ms_per_step"],
                 "batch_size": record["train_batch_size"],
+                **record.get("quality", {}),
             }), flush=True)
         except Exception as e:  # noqa: BLE001 — never lose the headline line
             print(json.dumps({"metric": "train_fps_nyu_stage2_raw640x480",
@@ -307,8 +359,54 @@ def _wait_for_backend(args):
         time.sleep(min(30, max(1, deadline - time.time())))
 
 
-def _measure_forward(forward, variables, img, label, mask, iters, repeat):
-    """In-jit lax.scan timing (see module docstring): returns frames/sec."""
+def _summarize_deltas(deltas):
+    """Robust estimate from subtraction-based timing deltas.
+
+    Non-positive deltas are measurement corruption (the scan-1 window
+    absorbed more tunnel/fetch overhead than the scan-N window — the
+    BENCH_r03 -7,655.9 fps failure mode), never physics: reject them,
+    report the MEDIAN of the positive samples, and surface window quality
+    as ``samples`` (positive count), ``rejected`` and ``spread_pct``
+    (max-min over median of the positive samples).
+    """
+    pos = sorted(d for d in deltas if d > 0)
+    if not pos:
+        raise RuntimeError(
+            f"no positive timing samples in {len(deltas)} tries — window "
+            f"too noisy to estimate (deltas: {[round(d, 6) for d in deltas]})")
+    med = statistics.median(pos)
+    quality = {
+        "samples": len(pos),
+        "spread_pct": round(100.0 * (pos[-1] - pos[0]) / med, 1),
+    }
+    if len(pos) < len(deltas):
+        quality["rejected"] = len(deltas) - len(pos)
+    return med, quality
+
+
+def _interleaved_estimate(samplers, repeat, min_positive=3):
+    """Run the delta samplers round-robin (A, B, A, B, ...) so every metric
+    shares window conditions; per sampler, keep sampling (bounded at
+    3x repeat rounds) until >=min_positive positive deltas, then return
+    [(median_per_iter_seconds, quality_dict), ...] in sampler order.
+    """
+    min_positive = min(min_positive, repeat)
+    buckets = [[] for _ in samplers]
+    for rounds in range(1, 3 * repeat + 1):
+        for sampler, bucket in zip(samplers, buckets):
+            bucket.append(sampler())
+        if rounds >= repeat and all(
+            sum(1 for d in b if d > 0) >= min_positive for b in buckets
+        ):
+            break
+    return [_summarize_deltas(b) for b in buckets]
+
+
+def _make_forward_sampler(forward, variables, img, label, mask, iters):
+    """Build (and compile) the in-jit lax.scan timing pair for ``forward``
+    (see module docstring); returns a zero-arg callable producing one
+    (T(scan N) - T(scan 1)) / (N - 1) per-iteration delta, normalized to
+    seconds per scan iteration (divide batch size by it for fps)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -331,24 +429,25 @@ def _measure_forward(forward, variables, img, label, mask, iters, repeat):
 
     def timed(fn):
         t0 = time.perf_counter()
-        v = float(fn(variables, img, label, mask))  # scalar fetch = sync
-        return time.perf_counter() - t0, v
+        float(fn(variables, img, label, mask))  # scalar fetch = sync
+        return time.perf_counter() - t0
 
     timed(run_1)  # compile
     timed(run_n)  # compile
 
-    per_iter = []
-    for _ in range(repeat):
-        t1, _ = timed(run_1)
-        tn, _ = timed(run_n)
-        per_iter.append((tn - t1) / (iters - 1))
-    return img.shape[0] / min(per_iter)
+    def sample():
+        t1 = timed(run_1)
+        tn = timed(run_n)
+        return (tn - t1) / (iters - 1)
+
+    return sample
 
 
-def _bench_serving_config(args):
+def _make_serving_sampler(args):
     """Fastest supported serving config (PERF.md: batch norm folds to a
     constant affine at inference, which unblocks int8 conv chaining on the
-    v5e's 394-TOPs int8 MXU): measured the same way as the headline."""
+    v5e's 394-TOPs int8 MXU): same sampler shape as the headline so the
+    two can interleave."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -372,8 +471,8 @@ def _bench_serving_config(args):
                          mutable=["quant_scales"])
     variables = dict(variables, **upd)
     forward = lambda v, im, la, ma: model.apply(v, im, la, ma, train=False)
-    return _measure_forward(forward, variables, img, label, mask,
-                            args.iters, args.repeat)
+    return _make_forward_sampler(forward, variables, img, label, mask,
+                                 args.iters)
 
 
 def _chip_health_tflops(jax, jnp, lax, np):
@@ -458,21 +557,22 @@ def bench_train(args):
             return losses[-1]
         return run
 
-    import time
     run_n, run_1 = make_scan(6), make_scan(1)
     for f in (run_1, run_n):
         float(f(state, batch))
-    per = []
-    for _ in range(args.repeat):
+
+    def sample():
         t0 = time.perf_counter(); float(run_1(state, batch))
         t1 = time.perf_counter(); float(run_n(state, batch))
         t2 = time.perf_counter()
-        per.append(((t2 - t1) - (t1 - t0)) / (6 - 1))
-    dt = min(per)
+        return ((t2 - t1) - (t1 - t0)) / (6 - 1)
+
+    (dt, quality), = _interleaved_estimate([sample], args.repeat)
     return {
         "train_fps": round(b / dt, 1),
         "train_ms_per_step": round(dt * 1e3, 2),
         "train_batch_size": b,
+        "quality": quality,
     }
 
 

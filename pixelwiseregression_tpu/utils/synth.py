@@ -27,11 +27,19 @@ def make_synthetic_raw_batch(
     frames = np.zeros((b, fh, fw), np.float32)
     yy, xx = np.mgrid[0:fh, 0:fw]
     r_pix = max(8.0, min(fh, fw) / 8.0)
+    # mid-frequency surface texture on the blob: a bare paraboloid produces
+    # near-constant activation channels whose instance-norm statistics are
+    # degenerate (var ~ eps) and chaotically amplify f32 reassociation
+    # noise — unlike real hands (same conditioning as the dataset fixtures,
+    # tests/fixtures/make_nyu_fixture.py). Throughput is data-independent,
+    # so bench numbers are unaffected.
+    bumps = (6.0 * np.sin(xx / 3.1) * np.cos(yy / 4.3)
+             + 4.0 * np.sin((xx + yy) / 7.7)).astype(np.float32)
     for i in range(b):
         cx = fw / 2 + rng.uniform(-5, 5)
         cy = fh / 2 + rng.uniform(-5, 5)
         r2 = ((xx - cx) / r_pix) ** 2 + ((yy - cy) / r_pix) ** 2
-        frames[i][r2 < 1] = com_z + 40 * (r2[r2 < 1] - 0.5)
+        frames[i][r2 < 1] = com_z + 40 * (r2[r2 < 1] - 0.5) + bumps[r2 < 1]
 
     com = np.stack(
         [np.full(b, fw / 2), np.full(b, fh / 2), np.full(b, com_z)], axis=1

@@ -40,9 +40,17 @@ def write_split(split, n):
         rgb[:, :, 1] = (d16 // 256).astype(np.uint8)
         rgb[:, :, 2] = (d16 % 256).astype(np.uint8)
         Image.fromarray(rgb).save(os.path.join(root, split, f"depth_1_{i+1:07d}.png"))
-        uvds[0, i, :, 0] = rng.uniform(cu - 25, cu + 25, 36)
-        uvds[0, i, :, 1] = rng.uniform(cv - 25, cv + 25, 36)
-        uvds[0, i, :, 2] = rng.uniform(z - 50, z + 50, 36)
+        # DETERMINISTIC joint geometry (fixed offsets from the blob
+        # center): random per-frame joints would be unlearnable from the
+        # featureless blob and floor val mean-mm at ~40 mm (PERF.md
+        # convergence-validation note; make_msra_fixture.py has the same
+        # pattern). Fixed offsets let flagship convergence runs reach a
+        # few mm.
+        ang = np.linspace(0, 2 * np.pi, 36, endpoint=False)
+        radius = 12.0 + 28.0 * (np.arange(36) % 3) / 2.0  # rings at 12/26/40 px
+        uvds[0, i, :, 0] = cu + radius * np.cos(ang)
+        uvds[0, i, :, 1] = cv + radius * np.sin(ang)
+        uvds[0, i, :, 2] = z + 25.0 * np.sin(2 * ang)
         centers.append([cu, cv, z])
     savemat(os.path.join(root, split, "joint_data.mat"), {"joint_uvd": uvds})
     return centers

@@ -7,6 +7,10 @@ well-formed error JSON line instead of an infinite backend-init hang
 matches the success path's so outage records land on the same series.
 """
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 import json
 import os
 import subprocess

@@ -1,5 +1,9 @@
 """Camera transform and checkpoint round-trip unit tests."""
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 import numpy as np
 
 import jax

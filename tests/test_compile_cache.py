@@ -1,5 +1,9 @@
 """Persistent compilation cache plumbing (utils/compile_cache.py)."""
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 import os
 
 import jax

@@ -4,6 +4,8 @@ import numpy as np
 import cv2
 import pytest
 
+pytestmark = pytest.mark.quick
+
 import jax.numpy as jnp
 
 from pixelwiseregression_tpu.ops.heatmap import com_filter, splat_heatmap, synthesize_labels

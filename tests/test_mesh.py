@@ -1,5 +1,9 @@
 """Mesh/sharding helpers on the 8-virtual-device CPU mesh."""
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 import numpy as np
 
 import jax

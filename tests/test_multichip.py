@@ -94,3 +94,199 @@ def test_entry_compiles():
     fn, example_args = ge.entry()
     out = jax.jit(fn)(*example_args)
     assert out.shape == (8, 14, 3)
+
+
+# ---------------------------------------------------------------------------
+# Multi-device training equivalence + convergence (VERDICT r3 item 5)
+# ---------------------------------------------------------------------------
+
+def _tiny_train_parts(stage=2, augment=True, learnable=False, batch=8, seed=0):
+    """Tiny-but-real fused-train-step fixture: PreprocessConfig + model +
+    state + synthetic raw host batch (optionally with LEARNABLE geometry:
+    joints at fixed offsets from the COM, so a short run must converge)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pixelwiseregression_tpu.data.preprocess import PreprocessConfig
+    from pixelwiseregression_tpu.models import PixelwiseRegression
+    from pixelwiseregression_tpu.train.loop import (
+        create_train_state, make_optimizer,
+    )
+    from pixelwiseregression_tpu.utils.synth import make_synthetic_raw_batch
+
+    joints, ims, ls = 5, 32, 16
+    fh, fw = 96, 128
+    cfg = PreprocessConfig(
+        fx=241.42, fy=241.42, halfu=fw / 2, halfv=fh / 2,
+        image_size=ims, label_size=ls, kernel_size=7, sigma=1.5,
+        using_rotation=augment, using_scale=augment, using_shift=augment,
+    )
+    model = PixelwiseRegression(
+        joints=joints, stage=stage, label_size=ls, features=16, level=2,
+        norm_method="instance_anchored", decoder="xla",
+    )
+    tx = make_optimizer(steps_per_epoch=10)
+    sample = (
+        jnp.zeros((2, ims, ims, 1)), jnp.zeros((2, ls, ls, 1)),
+        jnp.zeros((2, ls, ls, 1)),
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), sample, tx)
+    hbatch = make_synthetic_raw_batch(
+        batch, fh, fw, joints, fx=cfg.fx, fy=cfg.fy, seed=seed)
+    if learnable:
+        # fixed per-joint offsets from the COM: a constant in normalized
+        # crop coordinates — learnable from the blob in a few dozen steps
+        # (random joints around a featureless blob are NOT learnable;
+        # PERF.md round-2 convergence note)
+        off_u = np.linspace(-8, 8, hbatch["joints"].shape[1], dtype=np.float32)
+        off_v = np.linspace(6, -6, hbatch["joints"].shape[1], dtype=np.float32)
+        off_d = np.linspace(-20, 20, hbatch["joints"].shape[1], dtype=np.float32)
+        hbatch["joints"] = np.stack([
+            hbatch["com"][:, :1] + off_u[None, :],
+            hbatch["com"][:, 1:2] + off_v[None, :],
+            hbatch["com"][:, 2:3] + off_d[None, :],
+        ], axis=2).astype(np.float32)
+    return cfg, model, state, hbatch
+
+
+def _run_steps(step, state0, hbatch, n_devices, n_steps=3):
+    import jax
+    import jax.numpy as jnp
+
+    from pixelwiseregression_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicated,
+    )
+
+    mesh = make_mesh(jax.devices()[:n_devices])
+    st = jax.device_put(state0, replicated(mesh))
+    batch = {k: jax.device_put(jnp.asarray(v), batch_sharding(mesh))
+             for k, v in hbatch.items()}
+    losses, params_step1 = [], None
+    with mesh:
+        for i in range(n_steps):
+            st, metrics = step(
+                st, batch, jax.random.fold_in(jax.random.PRNGKey(7), i))
+            losses.append(float(metrics["loss"]))
+            if i == 0:
+                params_step1 = jax.device_get(st.params)
+    return losses, params_step1, jax.device_get(st.params)
+
+
+def test_train_step_equivalence_1dev_vs_8dev_sgd():
+    """The REAL fused train step (preprocess+aug+fwd/bwd, stage-2) on the
+    same global batch must match between a 1-device and an 8-device
+    data-parallel mesh.
+
+    Two tiers, both measured (CPU f32):
+    - post-STEP-1 params under SGD (no momentum) are ``init - lr*grad``:
+      comparing them tightly certifies the 8-way psum'd gradient equals
+      the full-batch gradient (a wrong psum — e.g. a missing mean — is a
+      ~7e-3*|grad| param error, 3 orders above the gate).
+    - the 3-step LOSS trajectory is gated at the measured chaotic
+      envelope: an untrained stage-2 net amplifies step-1's ~1e-6
+      reassociation-level param difference ~1000x/step through its
+      degenerate instance-norm statistics, so step-3 losses agree only to
+      ~1.5e-3 relative for ANY two valid f32 evaluation orders. 1e-2 is
+      5x headroom yet far below a real sharding bug (~O(1))."""
+    import jax
+    import numpy as np
+
+    from pixelwiseregression_tpu.train.loop import (
+        LossConfig, make_optimizer, make_train_step,
+    )
+
+    cfg, model, state0, hbatch = _tiny_train_parts(stage=2, augment=True)
+    tx = make_optimizer(opt="sgd", beta1=0.0, steps_per_epoch=10)
+    state0 = state0.replace(tx=tx, opt_state=tx.init(state0.params))
+    step = make_train_step(cfg, LossConfig(alpha=0.5), augment=True,
+                           donate=False)
+
+    losses_1, step1_1, _ = _run_steps(step, state0, hbatch, 1)
+    losses_8, step1_8, _ = _run_steps(step, state0, hbatch, 8)
+
+    assert abs(losses_1[0] - losses_8[0]) <= 1e-5 * abs(losses_1[0]), (
+        "step-1 loss (pure forward of identical params) differs: "
+        f"{losses_1[0]} vs {losses_8[0]}")
+    for a, b in zip(jax.tree_util.tree_leaves(step1_1),
+                    jax.tree_util.tree_leaves(step1_8)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-5, atol=1e-6,
+            err_msg="post-step-1 params diverge across meshes (SGD: param "
+                    "delta = -lr*grad, so this is gradient disagreement — "
+                    "the all-reduce is wrong)")
+    np.testing.assert_allclose(
+        losses_1, losses_8, rtol=1e-2,
+        err_msg="losses outside the measured f32 chaotic envelope")
+
+
+def test_train_step_equivalence_1dev_vs_8dev_adamw_envelope():
+    """Same check with the SHIPPED optimizer (AdamW). Adam's warm-up
+    normalization amplifies f32 reduction reassociation: for a parameter
+    whose gradient is near zero, update ~= sign(g)*lr, so a ulp-level psum
+    ordering difference can flip the sign and produce an O(lr) param
+    difference — measured loss divergence here is ~2e-3 relative by step 3
+    (not a sharding bug; the SGD test above proves gradient equivalence).
+    This locks the measured envelope so a REAL regression (wrong psum,
+    desynced RNG: ~O(1) loss difference) still fails loudly."""
+    import numpy as np
+
+    from pixelwiseregression_tpu.train.loop import LossConfig, make_train_step
+
+    cfg, model, state0, hbatch = _tiny_train_parts(stage=2, augment=True)
+    step = make_train_step(cfg, LossConfig(alpha=0.5), augment=True,
+                           donate=False)
+
+    losses_1, _, _ = _run_steps(step, state0, hbatch, 1)
+    losses_8, _, _ = _run_steps(step, state0, hbatch, 8)
+    # measured divergence at step 3 is ~1.8e-3 relative (CPU f32); 1e-2 is
+    # 5x headroom while 100x below any real equivalence bug
+    np.testing.assert_allclose(losses_1, losses_8, rtol=1e-2,
+                               err_msg="AdamW losses outside the measured "
+                                       "f32-reassociation envelope")
+
+
+def test_data_parallel_convergence_8dev():
+    """Short multi-epoch data-parallel run on the 8-device mesh: val
+    mean-mm must decrease. Covers the optimizer/all-reduce/eval loop end to
+    end on the mesh (not just one step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixelwiseregression_tpu.core.camera import Camera
+    from pixelwiseregression_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicated,
+    )
+    from pixelwiseregression_tpu.train.loop import (
+        LossConfig, make_eval_step, make_train_step,
+    )
+
+    cfg, model, state, hbatch = _tiny_train_parts(
+        stage=1, augment=False, learnable=True, batch=16)
+    mesh = make_mesh(jax.devices())
+    bsh, rsh = batch_sharding(mesh), replicated(mesh)
+    state = jax.device_put(state, rsh)
+    batch = {k: jax.device_put(jnp.asarray(v), bsh) for k, v in hbatch.items()}
+
+    loss_cfg = LossConfig(alpha=0.5)
+    step = make_train_step(cfg, loss_cfg, augment=False, donate=False)
+    camera = Camera(fx=cfg.fx, fy=cfg.fy, halfu=cfg.halfu, halfv=cfg.halfv)
+    eval_step = make_eval_step(cfg, loss_cfg, camera)
+
+    def mean_mm(st):
+        with mesh:
+            m = eval_step(st, batch)
+        return float(m["err_sum_mm"][-1]) / float(m["count"])
+
+    err0 = mean_mm(state)
+    first_loss = last_loss = None
+    with mesh:
+        for i in range(40):
+            state, metrics = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(3), i))
+            if i == 0:
+                first_loss = float(metrics["loss"])
+    last_loss = float(metrics["loss"])
+    err1 = mean_mm(state)
+    assert last_loss < first_loss, (first_loss, last_loss)
+    assert err1 < 0.85 * err0, f"val mean-mm did not converge: {err0} -> {err1}"

@@ -6,6 +6,8 @@ import struct
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.quick
 from PIL import Image
 
 from pixelwiseregression_tpu.data.sources import (
