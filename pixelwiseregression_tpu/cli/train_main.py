@@ -306,7 +306,11 @@ def run_training(args, dataset_name: str, fullregression: bool = False, subject=
             f"({fps:.1f} samples/s)"
         )
 
-        if viz_batch is not None:
+        # PWR_TB_IMAGES=0 skips TB image logging: each epoch's viz pulls
+        # ~10 arrays device->host, which through the remote TPU tunnel
+        # costs seconds per fetch — long hardware runs opt out (scalars
+        # and the mean-mm metric are unaffected)
+        if viz_batch is not None and os.environ.get("PWR_TB_IMAGES", "1") != "0":
             log_images(epoch, state, viz_batch)
 
         # ---- tensorboard scalars (reference: train.py:294-311) ----
