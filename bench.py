@@ -207,6 +207,10 @@ def main():
     samplers = [headline_sampler] + ([serving_sampler] if serving_sampler else [])
     estimates = _interleaved_estimate(samplers, args.repeat)
     per_frame, quality = estimates[0]
+    if per_frame is None:
+        # the headline must never be emitted as garbage — an unestimable
+        # window is a hard failure (matches the estimator contract tests)
+        raise RuntimeError(f"headline estimate failed: {quality['error']}")
     fps = args.batch_size / per_frame
 
     qtag = "" if args.quant == "none" else f"_{args.quant}"
@@ -244,6 +248,10 @@ def main():
             pass
 
     if args.serving:
+        if serving_sampler is not None and estimates[1][0] is None:
+            # sampling-time serving failure (advisor round-4 medium):
+            # isolated by the estimator — report it without losing anything
+            serving_sampler, serving_err = None, estimates[1][1]["error"]
         if serving_sampler is not None:
             sper, squality = estimates[1]
             sfps = args.batch_size / sper
@@ -389,17 +397,39 @@ def _interleaved_estimate(samplers, repeat, min_positive=3):
     shares window conditions; per sampler, keep sampling (bounded at
     3x repeat rounds) until >=min_positive positive deltas, then return
     [(median_per_iter_seconds, quality_dict), ...] in sampler order.
+
+    Per-sampler failures are ISOLATED (round-4 advisor finding): an
+    exception raised while SAMPLING one metric (tunnel error mid-run), or
+    an all-negative bucket, yields ``(None, {"error": msg})`` for that
+    sampler only — the other buckets keep sampling and summarize normally,
+    so a serving-side failure can never lose the headline estimate.
     """
     min_positive = min(min_positive, repeat)
     buckets = [[] for _ in samplers]
+    errors = [None] * len(samplers)
     for rounds in range(1, 3 * repeat + 1):
-        for sampler, bucket in zip(samplers, buckets):
-            bucket.append(sampler())
+        for i, (sampler, bucket) in enumerate(zip(samplers, buckets)):
+            if errors[i] is not None:
+                continue  # dead sampler; keep the others in-window
+            try:
+                bucket.append(sampler())
+            except Exception as e:  # noqa: BLE001 — isolate per sampler
+                errors[i] = f"{type(e).__name__}: {e}"[:200]
         if rounds >= repeat and all(
-            sum(1 for d in b if d > 0) >= min_positive for b in buckets
+            err is not None or sum(1 for d in b if d > 0) >= min_positive
+            for err, b in zip(errors, buckets)
         ):
             break
-    return [_summarize_deltas(b) for b in buckets]
+    out = []
+    for err, bucket in zip(errors, buckets):
+        if err is None:
+            try:
+                out.append(_summarize_deltas(bucket))
+            except RuntimeError as e:
+                out.append((None, {"error": str(e)[:200]}))
+        else:
+            out.append((None, {"error": err}))
+    return out
 
 
 def _make_forward_sampler(forward, variables, img, label, mask, iters):
@@ -567,7 +597,22 @@ def bench_train(args):
         t2 = time.perf_counter()
         return ((t2 - t1) - (t1 - t0)) / (6 - 1)
 
-    (dt, quality), = _interleaved_estimate([sample], args.repeat)
+    # The train line is the noisiest driver-facing metric (BENCH_r04:
+    # spread_pct 10.2 on 4 samples brackets 1,170-1,430 f/s — too wide to
+    # detect a ~10% step win). Collect >=6 positive samples and bracket
+    # the window with the chip-health probe so a drifting chip is visible
+    # in the record itself.
+    health_pre = (_chip_health_tflops(jax, jnp, lax, np)
+                  if jax.devices()[0].platform == "tpu" else None)
+    (dt, quality), = _interleaved_estimate(
+        [sample], max(args.repeat, 6), min_positive=6)
+    health_post = (_chip_health_tflops(jax, jnp, lax, np)
+                   if jax.devices()[0].platform == "tpu" else None)
+    if dt is None:
+        raise RuntimeError(f"train estimate failed: {quality['error']}")
+    if health_pre is not None:
+        quality = dict(quality, chip_health_tflops_pre=health_pre,
+                       chip_health_tflops_post=health_post)
     return {
         "train_fps": round(b / dt, 1),
         "train_ms_per_step": round(dt * 1e3, 2),

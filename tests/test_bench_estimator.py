@@ -89,6 +89,48 @@ def test_quality_fields_shape():
     assert quality == {"samples": 4, "spread_pct": 0.0}
 
 
+def test_sampler_exception_is_isolated_per_bucket():
+    # round-4 advisor medium: a tunnel error while SAMPLING the serving
+    # config must not kill the headline estimate mid-run
+    def bad():
+        raise ConnectionError("tunnel died mid-sample")
+
+    results = _interleaved_estimate([_noisy_sampler([TRUE] * 12), bad], repeat=4)
+    per_iter, quality = results[0]
+    assert abs(per_iter - TRUE) < 1e-9
+    assert quality["samples"] >= 3
+    bad_per_iter, bad_quality = results[1]
+    assert bad_per_iter is None
+    assert "ConnectionError" in bad_quality["error"]
+
+
+def test_all_negative_bucket_is_isolated_per_bucket():
+    # an all-corrupted serving window yields an error marker for that
+    # bucket only — the headline bucket still summarizes
+    neg = _noisy_sampler([-1e-5] * 12)
+    results = _interleaved_estimate([_noisy_sampler([TRUE] * 12), neg], repeat=4)
+    assert abs(results[0][0] - TRUE) < 1e-9
+    assert results[1][0] is None
+    assert "no positive timing samples" in results[1][1]["error"]
+
+
+def test_single_sampler_failure_returns_error_marker():
+    # the caller decides severity: bench.py main() re-raises when the
+    # HEADLINE bucket carries an error marker (never emit garbage)
+    (per_iter, quality), = _interleaved_estimate(
+        [_noisy_sampler([-1e-5] * 12)], repeat=4)
+    assert per_iter is None and "error" in quality
+
+
+def test_min_positive_above_default_collects_more_samples():
+    # the train line now demands >=6 positive samples (VERDICT r4 item 5)
+    seq = [TRUE * (1 + 0.01 * i) for i in range(20)]
+    (per_iter, quality), = _interleaved_estimate(
+        [_noisy_sampler(seq)], repeat=6, min_positive=6)
+    assert quality["samples"] >= 6
+    assert abs(per_iter - TRUE) / TRUE < 0.1
+
+
 def test_noisy_clock_simulation_bounded_error():
     # randomized adversarial clock: jitter + occasional negative corruption;
     # the estimate must stay within 15% of truth for every seed

@@ -108,6 +108,12 @@ def main():
 
     for (name, _), deltas in zip(variants, buckets):
         pos = sorted(d for d in deltas if d > 0)
+        if not pos:
+            # mirror bench.py _summarize_deltas: one variant's corrupted
+            # window must not lose the other variant's results
+            print(f"  {name:6s} window too noisy, 0/{len(deltas)} positive "
+                  f"deltas — no estimate", flush=True)
+            continue
         med = statistics.median(pos)
         print(f"  {name:6s} min {min(pos)*1e3:7.2f}  median {med*1e3:7.2f} "
               f"ms/step  ({args.batch/med:7.1f} f/s median, "
