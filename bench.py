@@ -402,7 +402,11 @@ def _interleaved_estimate(samplers, repeat, min_positive=3):
     exception raised while SAMPLING one metric (tunnel error mid-run), or
     an all-negative bucket, yields ``(None, {"error": msg})`` for that
     sampler only — the other buckets keep sampling and summarize normally,
-    so a serving-side failure can never lose the headline estimate.
+    so a serving-side failure can never lose the headline estimate. If the
+    failing sampler had ALREADY banked >= min_positive positive deltas,
+    the estimate is salvaged from them and the exception is surfaced as
+    ``sampler_error`` in its quality dict instead of discarding the
+    measurement the isolation exists to protect.
     """
     min_positive = min(min_positive, repeat)
     buckets = [[] for _ in samplers]
@@ -422,13 +426,17 @@ def _interleaved_estimate(samplers, repeat, min_positive=3):
             break
     out = []
     for err, bucket in zip(errors, buckets):
-        if err is None:
-            try:
-                out.append(_summarize_deltas(bucket))
-            except RuntimeError as e:
-                out.append((None, {"error": str(e)[:200]}))
-        else:
+        if err is not None and sum(1 for d in bucket if d > 0) < min_positive:
             out.append((None, {"error": err}))
+            continue
+        try:
+            med, quality = _summarize_deltas(bucket)
+        except RuntimeError as e:
+            out.append((None, {"error": str(e)[:200]}))
+            continue
+        if err is not None:
+            quality = dict(quality, sampler_error=err)
+        out.append((med, quality))
     return out
 
 

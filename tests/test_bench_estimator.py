@@ -114,6 +114,40 @@ def test_all_negative_bucket_is_isolated_per_bucket():
     assert "no positive timing samples" in results[1][1]["error"]
 
 
+def test_late_exception_salvages_banked_estimate():
+    # round-5 review: a sampler that dies AFTER banking >= min_positive
+    # positive deltas keeps its estimate (the error is surfaced as
+    # sampler_error in quality) instead of discarding the measurement
+    seq = [TRUE, TRUE * 1.01, TRUE * 0.99]
+
+    def dies_late(it=iter(seq)):
+        try:
+            return next(it)
+        except StopIteration:
+            raise ConnectionError("tunnel died after 3 good samples")
+
+    (per_iter, quality), = _interleaved_estimate([dies_late], repeat=4)
+    assert abs(per_iter - TRUE) / TRUE < 0.05
+    assert quality["samples"] == 3
+    assert "ConnectionError" in quality["sampler_error"]
+
+
+def test_early_exception_with_too_few_positives_is_an_error():
+    # the salvage only triggers at >= min_positive banked positives —
+    # two good samples then death is still an unestimable bucket
+    seq = [TRUE, TRUE * 1.01]
+
+    def dies_early(it=iter(seq)):
+        try:
+            return next(it)
+        except StopIteration:
+            raise ConnectionError("tunnel died after 2 samples")
+
+    (per_iter, quality), = _interleaved_estimate([dies_early], repeat=4)
+    assert per_iter is None
+    assert "ConnectionError" in quality["error"]
+
+
 def test_single_sampler_failure_returns_error_marker():
     # the caller decides severity: bench.py main() re-raises when the
     # HEADLINE bucket carries an error marker (never emit garbage)

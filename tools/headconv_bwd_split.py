@@ -26,18 +26,19 @@ exactly the shape of stage_{0,1}/{plane,depth}/conv_{0,1,2}):
 
 All variants are timed with the repo's in-jit lax.scan methodology
 (per-iteration input perturbation, scan-1 subtraction, interleaved
-sampling, median of positive deltas — bench.py estimator discipline).
+sampling, median of positive deltas) — shared with bench.py via
+tools/ab_common.py.
 
 Run: python tools/headconv_bwd_split.py [--batch 128] [--rounds 4]
 """
 
 import argparse
 import os
-import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ab_common import make_scan_sampler, print_variants, run_interleaved
 
 
 def build_samplers(batch, iters):
@@ -112,31 +113,7 @@ def build_samplers(batch, iters):
 
     samplers = {}
     for name, fn in variants.items():
-        def make_scan(n, fn=fn):
-            @jax.jit
-            def run(x):
-                def body(acc, i):
-                    out = fn(x + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
-                    return acc + out, None
-                acc, _ = lax.scan(body, f32(0.0), jnp.arange(n))
-                return acc
-            return run
-        run_n, run_1 = make_scan(iters), make_scan(1)
-
-        def timed(f, x=x0):
-            t0 = time.perf_counter()
-            float(f(x))
-            return time.perf_counter() - t0
-
-        timed(run_1)
-        timed(run_n)
-
-        def sample(run_1=run_1, run_n=run_n, timed=timed):
-            t1 = timed(run_1)
-            tn = timed(run_n)
-            return (tn - t1) / (iters - 1)
-
-        samplers[name] = sample
+        samplers[name] = make_scan_sampler(fn, x0, iters)
         print(f"  compiled {name}", flush=True)
     return samplers
 
@@ -149,31 +126,18 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from pixelwiseregression_tpu.cli.common import apply_platform_override
+    from pixelwiseregression_tpu.utils.compile_cache import enable_compile_cache
+
+    apply_platform_override()
+    enable_compile_cache()
     print(f"platform={jax.devices()[0].platform}", flush=True)
 
     samplers = build_samplers(args.batch, args.iters)
-    names = list(samplers)
-    buckets = {n: [] for n in names}
-    for r in range(args.rounds * 3):
-        for n in names:  # interleaved: every variant shares the window
-            buckets[n].append(samplers[n]())
-        if r + 1 >= args.rounds and all(
-            sum(1 for d in b if d > 0) >= 3 for b in buckets.values()
-        ):
-            break
-
+    results = run_interleaved(samplers, rounds=args.rounds)
     print(f"\nper-variant device time (batch {args.batch}):", flush=True)
-    med = {}
-    for n in names:
-        pos = sorted(d for d in buckets[n] if d > 0)
-        if not pos:
-            print(f"  {n:9s} window too noisy, 0/{len(buckets[n])} positive",
-                  flush=True)
-            continue
-        m = statistics.median(pos)
-        med[n] = m
-        print(f"  {n:9s} {m*1e3:8.3f} ms/iter  {m/args.batch*1e6:7.2f} us/frame"
-              f"  ({len(pos)}/{len(buckets[n])} positive)", flush=True)
+    med = print_variants(results, args.batch, width=9)
 
     if {"convpair", "normrelu", "unit_bwd", "dx_only", "dw_only"} <= med.keys():
         add = med["convpair"] + med["normrelu"]

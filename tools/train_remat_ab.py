@@ -16,11 +16,12 @@ Run: python tools/train_remat_ab.py [--batch 128] [--rounds 4]
 
 import argparse
 import os
-import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ab_common import run_interleaved
 
 
 def build_sampler(remat, batch_size, iters, decoder):
@@ -91,33 +92,24 @@ def main():
     import jax
     print(f"platform={jax.devices()[0].platform}", flush=True)
 
-    variants = [("base", False), ("remat", True)]
-    samplers = []
-    for name, rm in variants:
-        samplers.append(build_sampler(rm, args.batch, args.iters,
-                                      args.decoder))
+    samplers = {}
+    for name, rm in (("base", False), ("remat", True)):
+        samplers[name] = build_sampler(rm, args.batch, args.iters,
+                                       args.decoder)
         print(f"  compiled {name}", flush=True)
 
-    buckets = [[] for _ in variants]
-    for r in range(args.rounds * 3):
-        for s, b in zip(samplers, buckets):
-            b.append(s())
-        done = all(sum(1 for d in b if d > 0) >= 3 for b in buckets)
-        if r + 1 >= args.rounds and done:
-            break
-
-    for (name, _), deltas in zip(variants, buckets):
-        pos = sorted(d for d in deltas if d > 0)
-        if not pos:
-            # mirror bench.py _summarize_deltas: one variant's corrupted
-            # window must not lose the other variant's results
-            print(f"  {name:6s} window too noisy, 0/{len(deltas)} positive "
-                  f"deltas — no estimate", flush=True)
+    # bench.py estimator discipline via ab_common (interleaved rounds,
+    # per-variant isolation, median-of-positive) — one variant's corrupted
+    # window or mid-run exception cannot lose the other's results
+    results = run_interleaved(samplers, rounds=args.rounds)
+    for name, (med, quality) in results.items():
+        if med is None:
+            print(f"  {name:6s} unestimable: {quality.get('error')}",
+                  flush=True)
             continue
-        med = statistics.median(pos)
-        print(f"  {name:6s} min {min(pos)*1e3:7.2f}  median {med*1e3:7.2f} "
-              f"ms/step  ({args.batch/med:7.1f} f/s median, "
-              f"{len(pos)}/{len(deltas)} positive)", flush=True)
+        print(f"  {name:6s} median {med*1e3:7.2f} ms/step  "
+              f"({args.batch/med:7.1f} f/s median, {quality['samples']} "
+              f"samples, spread {quality['spread_pct']}%)", flush=True)
 
 
 if __name__ == "__main__":
